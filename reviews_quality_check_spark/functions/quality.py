@@ -1,0 +1,108 @@
+"""Text-quality / language-ID / token-statistics expressions.
+
+The training-data-pipeline operators (language identification, quality
+scoring, token counting) the engine adds beyond the reference, built as
+pure Column expressions so they run JVM-side at 100 TB scale. All
+constants are module-level so the DuckDB correctness oracles can be
+generated from the same lists (no semantic drift between engine and
+oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from reviews_quality_check_spark.functions.text import tokens
+
+# Engine-canonical English stopword list (fixed, small — the reference used
+# nltk stopwords at review_analysis.py:40-50; the engine pins an explicit
+# list so Spark / DuckDB / Python oracles agree byte-for-byte).
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
+    "has", "have", "he", "in", "is", "it", "its", "not", "of", "on", "or",
+    "s", "she", "that", "the", "this", "to", "was", "were", "will", "with",
+)
+
+# Marker tokens per language for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "es": ("el", "la", "de", "que", "y", "los", "las", "una", "por", "con"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "du", "dans", "pour"),
+}
+LANG_PRIORITY: tuple[str, ...] = ("en", "es", "de", "fr")
+
+
+def stopword_ratio(tok: Column) -> Column:
+    """Fraction of tokens that are canonical stopwords; 0.0 if no tokens."""
+    stops = F.array([F.lit(s) for s in STOPWORDS])
+    # NB: not array_intersect (it dedups) — count every stopword occurrence.
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(tok) > 0, n_stop.cast("double") / F.size(tok).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation characters / total characters; 0.0 for empty."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]-]", ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_digit = F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))
+    return F.when(F.length(c) > 0, n_digit.cast("double") / F.length(c).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def mean_word_length(tok: Column) -> Column:
+    total = F.aggregate(tok, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(
+        F.size(tok) > 0, total.cast("double") / F.size(tok).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic document-quality heuristic in [0,1].
+
+    Components (each in [0,1], weighted):
+      0.35 * length_ok      — 5..5000 tokens
+      0.25 * wordlen_ok     — mean word length in [3, 12]
+      0.20 * (1 - min(punct_ratio*5, 1))
+      0.20 * stop_presence  — min(stopword_ratio*4, 1) (gibberish has ~0)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tok = tokens(c)
+    n = F.size(tok)
+    length_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_length(tok)
+    wordlen_ok = F.when((mwl >= 3.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    stop_pres = F.least(stopword_ratio(tok) * 4.0, F.lit(1.0))
+    score = 0.35 * length_ok + 0.25 * wordlen_ok + 0.20 * punct_pen + 0.20 * stop_pres
+    return F.when(c.isNull() | (n == 0), F.lit(0.0)).otherwise(score)
+
+
+def lang_marker_hits(tok: Column, lang: str) -> Column:
+    """Number of tokens that are marker words of ``lang`` (with multiplicity)."""
+    markers = F.array([F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(tok, lambda t: F.array_contains(markers, t)))
+
+
+def predict_lang(col: Column | str) -> Column:
+    """Argmax language over marker-hit counts; ties resolved by
+    LANG_PRIORITY order; 'und' when no marker hits at all."""
+    c = F.col(col) if isinstance(col, str) else col
+    tok = tokens(c)
+    hits = {lg: lang_marker_hits(tok, lg) for lg in LANG_PRIORITY}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lg in reversed(LANG_PRIORITY):
+        expr = F.when((best > 0) & (hits[lg] == best), F.lit(lg)).otherwise(expr)
+    return expr

@@ -1,0 +1,150 @@
+"""Text normalization / tokenization / n-gram expressions.
+
+Re-expresses the reference's per-row string loops as native Column
+expressions (reference sites cited per function). The engine's canonical
+tokenizer is a deterministic regex tokenizer (``[a-z0-9']+`` over the
+lowercased text) — chosen over NLTK punkt so the exact same semantics
+are expressible JVM-side in Spark, in DuckDB SQL (correctness oracles),
+and in pure Python (parity oracle), with no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Canonical token pattern: runs of lowercase alphanumerics/apostrophes.
+TOKEN_RE = "[a-z0-9']+"
+# Sentence split pattern — reference analyzers/sentiment.py:248 re.split(r'[.!?]+')
+SENTENCE_SPLIT_RE = "[.!?]+"
+
+
+def norm_text(col: Column | str) -> Column:
+    """lower + trim + whitespace collapse.
+
+    reference: analyzers/similarity.py:80-82 (' '.join(text.split()) after
+    lower/strip) and utils/text_processing.py:67-73.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def tokens(col: Column | str) -> Column:
+    """Array of canonical tokens of the lowercased text.
+
+    reference: review_analysis.py:505 nltk.word_tokenize(text.lower()) —
+    re-expressed as a regex extraction (deterministic, engine-canonical).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def sentences(col: Column | str) -> Column:
+    """Non-empty sentences after splitting on [.!?]+ (reference
+    sentiment.py:248, text_processing.py split variant)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, SENTENCE_SPLIT_RE), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def sentence_count(col: Column | str) -> Column:
+    return F.size(sentences(col))
+
+
+def word_ngrams(tok: Column, n: int, sep: str = " ") -> Column:
+    """Word n-grams from a token array.
+
+    reference: review_analysis.py:510-512 (nltk.ngrams over tokens).
+    Built with sequence+transform so it stays in codegen. Empty array when
+    there are fewer than ``n`` tokens.
+    """
+    if n == 1:
+        return tok
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0)))
+    parts = lambda i: F.concat_ws(sep, *[F.element_at(tok, i + k) for k in range(n)])  # noqa: E731
+    return F.when(F.size(tok) >= n, F.transform(idx, parts)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_ngrams_per_word(tok: Column, n: int = 3) -> Column:
+    """All length-n substrings of each word (words >= n chars) plus the
+    whole word — reference analyzers/similarity.py:84-100 (word + its
+    char trigrams feed the Jaccard n-gram set).
+    """
+    def word_grams(w: Column) -> Column:
+        positions = F.sequence(F.lit(1), F.greatest(F.length(w) - (n - 1), F.lit(0)))
+        grams = F.transform(positions, lambda i: w.substr(i, F.lit(n)))
+        return F.concat(grams, F.array(w))
+
+    return F.flatten(F.transform(tok, word_grams))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two array columns treated as sets.
+
+    reference: analyzers/similarity.py:102-110 (|∩| / |∪| of n-gram sets).
+    Returns 0.0 when the union is empty (reference returns 0.0 for empty).
+    """
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(F.array_union(da, db))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """k-token shingle set of the normalized text (MinHash input)."""
+    return F.array_distinct(word_ngrams(tokens(col), k))
+
+
+def whitespace_words(col: Column | str) -> Column:
+    """Whitespace-split words of the normalized text (punctuation kept
+    attached) — the reference's similarity preprocessing splits on
+    whitespace, NOT on a token regex (analyzers/similarity.py:80-87)."""
+    c = F.col(col) if isinstance(col, str) else col
+    nt = norm_text(c)
+    return F.when(nt == "", F.array().cast("array<string>")).otherwise(F.split(nt, " "))
+
+
+def similarity_ngram_set(col: Column | str, n: int = 3) -> Column:
+    """The reference's n-gram set for pairwise Jaccard similarity
+    (analyzers/similarity.py:84-100): every whitespace word, plus char
+    n-grams of words >= n chars, plus word-level n-grams.
+    """
+    words = whitespace_words(col)
+    return F.array_distinct(
+        F.concat(char_ngrams_per_word(words, n), word_ngrams(words, n))
+    )
+
+
+def md5_fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text.
+
+    Plays the role of the reference's exact-duplicate hash key
+    (analyzers/similarity.py:233-249 used the normalized string itself);
+    a fixed-width digest keeps shuffle rows narrow at 100 TB scale.
+    """
+    return F.md5(norm_text(col))
+
+
+def truncate_words(col: Column | str, max_length: int = 100, ellipsis: str = "...") -> Column:
+    """Word-boundary truncation — reference utils/text_processing.py:75-95.
+
+    If len(text) <= max_length return as-is; else cut at max_length, back
+    up to the last space (if any), append ellipsis.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cut = F.substring(c, 1, max_length)
+    # position of last space within the cut: length - position of first
+    # space in the reversed string.
+    rev_pos = F.instr(F.reverse(cut), " ")
+    keep_len = F.length(cut) - rev_pos
+    # reference: `last_space > 0` — a space at index 0 (keep_len==0) keeps cut
+    trimmed = F.when((rev_pos > 0) & (keep_len > 0), F.substring(cut, 1, keep_len)).otherwise(cut)
+    return F.when(F.length(c) <= max_length, c).otherwise(F.concat(trimmed, F.lit(ellipsis)))

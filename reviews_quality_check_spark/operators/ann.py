@@ -1,0 +1,137 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths:
+  - brute-force cosine top-k: exact baseline; cross-join bounded by a
+    broadcast query side — correct at any corpus size as long as the
+    QUERY set is small (the common batch-scoring shape).
+  - LSH-bucketed (random hyperplane signs): scale path — candidates
+    share a sign-pattern bucket, turning the n×m cross product into
+    per-bucket joins. Hyperplanes are derived deterministically from
+    md5, so results are reproducible with no stored model.
+
+Dot products run through native higher-order functions
+(zip_with + aggregate) — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    # cast BEFORE multiplying: float*float would round to float32 and the
+    # result could not match an engine that multiplies in double
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query side
+    against the corpus, rank per query.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k,
+    deterministic tie-break on neighbor id. Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from md5 — no RNG
+    state, reproducible across sessions and engines."""
+    import hashlib
+
+    vals = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane_idx}:{j}".encode()).hexdigest()
+        # map 8 hex chars to (-1, 1)
+        vals.append(int(h[:8], 16) / float(0xFFFFFFFF) * 2.0 - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: sign-pattern bucket join + exact cosine
+    rerank within buckets. Recall < 1.0 by construction; bucket count =
+    2^num_planes. The scale path for corpus × corpus self-search."""
+    planes = [_hyperplane(dim, i) for i in range(num_planes)]
+
+    def bucket_expr(vec: Column) -> Column:
+        bits = []
+        for i, p in enumerate(planes):
+            plane = F.array([F.lit(float(x)) for x in p])
+            bits.append(F.when(dot(vec, plane) >= 0, 1 << i).otherwise(0))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,119 @@
+"""Distribution-drift checks: KL divergence and PSI across windows.
+
+Re-expresses the reference's KL computation
+(/root/reference/analyzers/statistics.py:34-70: align categories via key
+union, fill 0, normalize, scipy.entropy(p, qk=q) natural log) as a
+full-outer join + aggregate. The drift-over-time variant compares each
+``warc_ts`` window's categorical distribution to the previous window
+(north_star: "KL/PSI comparison ... across warc_ts windows").
+
+Scale: the heavy step is ONE groupBy(window, category) over the input;
+everything downstream operates on per-window histograms (|categories| ×
+|windows| rows — broadcast-sized even at 10^12 input rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def kl_divergence(real: DataFrame, synth: DataFrame) -> DataFrame:
+    """D_KL(real || synth) for two (category, probability) DataFrames.
+
+    Returns a 1-row DataFrame (kl_divergence double). Either side summing
+    to 0 -> 0.0 (reference statistics.py:62-65). Categories missing on
+    one side get probability 0; a real>0/synth=0 category yields
+    +Infinity, matching scipy.entropy.
+    """
+    r = real.select("category", F.col("probability").alias("p"))
+    s = synth.select("category", F.col("probability").alias("q"))
+    joined = r.join(s, "category", "full_outer").na.fill({"p": 0.0, "q": 0.0})
+    totals = joined.agg(F.sum("p").alias("ps"), F.sum("q").alias("qs"))
+    pn = F.col("p") / F.col("ps")
+    qn = F.col("q") / F.col("qs")
+    term = (
+        F.when((F.col("ps") == 0) | (F.col("qs") == 0), F.lit(0.0))
+        .when(F.col("p") > 0, pn * F.log(pn / qn))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .agg(F.coalesce(F.sum(term), F.lit(0.0)).alias("kl_divergence"))
+    )
+
+
+def window_histogram(
+    df: DataFrame, ts_col: str, cat_col: str, window_expr: str = "1 day"
+) -> DataFrame:
+    """Per-window normalized categorical histogram:
+    (window_start, category, cnt, p)."""
+    win = F.window(F.col(ts_col), window_expr).getField("start").alias("window_start")
+    hist = df.groupBy(win, F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wtot = Window.partitionBy("window_start")
+    return hist.withColumn(
+        "p", F.col("cnt").cast("double") / F.sum("cnt").over(wtot)
+    )
+
+
+def categorical_window_drift(
+    df: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    window_expr: str = "1 day",
+    metric: str = "kl",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-window drift vs the previous window over a categorical column.
+
+    Output: (window_start, drift) for every window that has a
+    predecessor. Categories absent on one side get probability ``eps``
+    (keeps KL finite — engine semantics; the reference only ever
+    compares two explicit dicts, windows are the north_star addition).
+
+    The window→previous-window map is computed with a single-partition
+    lag — safe because it is |windows| rows, not input rows.
+    """
+    probs = window_histogram(df, ts_col, cat_col, window_expr)
+
+    wmap = (
+        probs.select("window_start")
+        .distinct()
+        .withColumn("prev_window", F.lag("window_start").over(Window.orderBy("window_start")))
+        .filter(F.col("prev_window").isNotNull())
+    )
+    cur = probs.join(F.broadcast(wmap), "window_start").select(
+        "window_start", "prev_window", "category", "p"
+    )
+    prev = probs.select(
+        F.col("window_start").alias("prev_window"),
+        F.col("category"),
+        F.col("p").alias("p_prev"),
+    ).join(
+        F.broadcast(wmap.select(F.col("window_start").alias("next_window"), "prev_window")),
+        "prev_window",
+    )
+    aligned = cur.join(
+        prev.select(
+            F.col("next_window").alias("window_start"), "category", "p_prev"
+        ),
+        ["window_start", "category"],
+        "full_outer",
+    )
+
+    p = F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(eps))
+    q = F.greatest(F.coalesce(F.col("p_prev"), F.lit(0.0)), F.lit(eps))
+    if metric == "kl":
+        term = p * F.log(p / q)
+    elif metric == "psi":
+        term = (p - q) * F.log(p / q)
+    else:
+        raise ValueError(f"unknown drift metric: {metric}")
+    return (
+        aligned.groupBy("window_start")
+        .agg(F.sum(term).alias("drift"))
+        .orderBy("window_start")
+    )

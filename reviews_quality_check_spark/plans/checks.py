@@ -1,0 +1,198 @@
+"""Declarative constraint DSL.
+
+A Suite is a list of Checks over one input DataFrame. Two check
+families, chosen by plan shape (not by semantics):
+
+- RowCheck: a per-row violation predicate (null guard, set membership,
+  range, regex, readability floor, sentiment mismatch...). All RowChecks
+  in a suite compile into ONE projection over ONE scan; per-partition
+  violation counts fall out of a single groupBy.
+
+- AggCheck: a per-partition aggregate metric compared to a threshold
+  (uniqueness, null-rate ceilings, distinct floors, drift ceilings).
+  Each provides its own (partition_id, metric_value[, violations])
+  plan; the runner unions verdicts.
+
+This mirrors what the reference hand-codes imperatively per file
+(review_analysis.py:228-344: one metrics dict + detail lists per input
+file) as a compiled declarative plan per partition.
+"""
+
+from __future__ import annotations
+
+import operator
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_OPS: dict[str, Callable[[float, float], bool]] = {
+    "<=": operator.le,
+    "<": operator.lt,
+    ">=": operator.ge,
+    ">": operator.gt,
+    "==": operator.eq,
+}
+
+
+@dataclass(frozen=True)
+class RowCheck:
+    """A named per-row violation predicate."""
+
+    name: str
+    violation: Column  # True → this row violates the check
+    detail: Column | None = None  # optional human-readable detail column
+    max_violation_rate: float = 0.0  # partition passes if rate <= this
+
+    def detail_col(self) -> Column:
+        return self.detail if self.detail is not None else F.lit(None).cast("string")
+
+
+@dataclass(frozen=True)
+class AggCheck:
+    """A per-partition aggregate metric with a pass threshold.
+
+    ``plan(df, partition_col)`` must return a DataFrame with columns
+    (partition_id: string, metric_value: double) and may include a
+    ``violation_count`` column (defaults to 0).
+    """
+
+    name: str
+    plan: Callable[[DataFrame, str], DataFrame]
+    op: str = "<="
+    threshold: float = 0.0
+
+    def passes(self) -> Column:
+        return _OPS_COL[self.op](F.col("metric_value"), F.lit(self.threshold))
+
+
+_OPS_COL: dict[str, Callable[[Column, Column], Column]] = {
+    "<=": lambda a, b: a <= b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    ">": lambda a, b: a > b,
+    "==": lambda a, b: a == b,
+}
+
+
+@dataclass
+class Suite:
+    name: str
+    row_checks: list[RowCheck] = field(default_factory=list)
+    agg_checks: list[AggCheck] = field(default_factory=list)
+    row_key: str = "url"  # column used to identify violating rows
+
+    def add(self, check: RowCheck | AggCheck) -> "Suite":
+        if isinstance(check, RowCheck):
+            self.row_checks.append(check)
+        else:
+            self.agg_checks.append(check)
+        return self
+
+
+# --------------------------------------------------------------------------
+# Common check constructors
+# --------------------------------------------------------------------------
+
+
+def not_null(column: str, max_rate: float = 0.0) -> RowCheck:
+    return RowCheck(
+        name=f"not_null_{column}",
+        violation=F.col(column).isNull(),
+        detail=F.lit(f"{column} is null"),
+        max_violation_rate=max_rate,
+    )
+
+
+def not_blank(column: str, max_rate: float = 0.0) -> RowCheck:
+    """Null/empty/whitespace-only guard — reference review_analysis.py:502-503."""
+    return RowCheck(
+        name=f"not_blank_{column}",
+        violation=F.col(column).isNull() | (F.length(F.trim(F.col(column))) == 0),
+        detail=F.lit(f"{column} is blank"),
+        max_violation_rate=max_rate,
+    )
+
+
+def in_set(column: str, allowed: tuple[str, ...], max_rate: float = 0.0) -> RowCheck:
+    return RowCheck(
+        name=f"in_set_{column}",
+        violation=~F.col(column).isin(list(allowed)) | F.col(column).isNull(),
+        detail=F.concat(F.lit(f"{column}="), F.coalesce(F.col(column), F.lit("<null>"))),
+        max_violation_rate=max_rate,
+    )
+
+
+def in_range(column: str, lo: float, hi: float, max_rate: float = 0.0) -> RowCheck:
+    return RowCheck(
+        name=f"in_range_{column}",
+        violation=F.col(column).isNull() | (F.col(column) < lo) | (F.col(column) > hi),
+        detail=F.concat(F.lit(f"{column}="), F.col(column).cast("string")),
+        max_violation_rate=max_rate,
+    )
+
+
+def matches_regex(column: str, pattern: str, max_rate: float = 0.0) -> RowCheck:
+    return RowCheck(
+        name=f"regex_{column}",
+        violation=F.col(column).isNull() | ~F.col(column).rlike(pattern),
+        detail=F.col(column).substr(1, 80),
+        max_violation_rate=max_rate,
+    )
+
+
+def expression_floor(name: str, expr: Column, floor: float, max_rate: float = 0.0) -> RowCheck:
+    """Generic 'derived score must be >= floor' check (e.g. Flesch floor,
+    quality-score floor — reference flags low-readability rows)."""
+    return RowCheck(
+        name=name,
+        violation=expr.isNull() | (expr < floor),
+        detail=expr.cast("string"),
+        max_violation_rate=max_rate,
+    )
+
+
+def uniqueness(column: str, salt_buckets: int = 64) -> AggCheck:
+    """Uniqueness via salted two-phase hash aggregate (north_rule skew
+    handling): metric = duplicated-key count per partition."""
+
+    def plan(df: DataFrame, partition_col: str) -> DataFrame:
+        from pyspark.sql.functions import monotonically_increasing_id, pmod, xxhash64
+
+        salt = pmod(xxhash64(monotonically_increasing_id()), F.lit(salt_buckets))
+        partial = (
+            df.select(F.col(partition_col).alias("partition_id"), F.col(column).alias("key"))
+            .withColumn("_salt", salt)
+            .groupBy("partition_id", "key", "_salt")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        return (
+            partial.groupBy("partition_id", "key")
+            .agg(F.sum("_c").alias("cnt"))
+            .groupBy("partition_id")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") - 1)), F.lit(0)
+                ).cast("double").alias("metric_value"),
+            )
+            .withColumn("violation_count", F.col("metric_value").cast("long"))
+        )
+
+    return AggCheck(name=f"unique_{column}", plan=plan, op="<=", threshold=0.0)
+
+
+def max_drift(ts_col: str, cat_col: str, window_expr: str, threshold: float,
+              metric: str = "kl") -> AggCheck:
+    """Window-over-window drift ceiling; partition_id = window start."""
+
+    def plan(df: DataFrame, partition_col: str) -> DataFrame:
+        from reviews_quality_check_spark.operators.drift import categorical_window_drift
+
+        d = categorical_window_drift(df, ts_col, cat_col, window_expr, metric=metric)
+        return d.select(
+            F.col("window_start").cast("string").alias("partition_id"),
+            F.col("drift").alias("metric_value"),
+        ).withColumn("violation_count", F.lit(0).cast("long"))
+
+    return AggCheck(name=f"drift_{metric}_{cat_col}", plan=plan, op="<=", threshold=threshold)

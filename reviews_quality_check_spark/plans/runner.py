@@ -1,0 +1,257 @@
+"""Suite runner: compile a Suite to DataFrame plans, emit per-partition
+verdicts + violation rows + lineage, checkpoint to a commit log, resume.
+
+Plan shape (the 100 TB story):
+  - ALL RowChecks evaluate in ONE projection over ONE scan of the input
+    (violation flags are plain boolean columns → whole-stage codegen).
+  - Violation rows come from exploding a compacted array<struct> of
+    failed checks per row — rows with no violations contribute nothing.
+  - Per-partition counts are a single groupBy over the flag columns
+    (map-side partial aggregation, narrow shuffle: one row per
+    partition_id per reducer).
+  - Each AggCheck contributes its own bounded-shuffle plan (salted
+    aggregates, window histograms) and unions into the verdict table.
+
+Checkpoint/resume (north_rule): verdicts/violations are written
+partitioned by partition_id with dynamic partition overwrite (an
+idempotent per-partition commit, the parquet-dir stand-in for an
+Iceberg table in this sandbox); lineage rows are appended LAST, so a
+killed run simply re-processes partitions that have no lineage row.
+``run(resume=True)`` anti-joins the input against committed lineage.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reviews_quality_check_spark.plans.checks import Suite
+
+
+@dataclass
+class SuiteResult:
+    verdicts: DataFrame
+    violations: DataFrame
+    partitions_processed: int
+    partitions_skipped: int
+
+
+class SuiteRunner:
+    def __init__(self, suite: Suite, out_dir: str | None = None,
+                 violation_cap_per_check: int = 10000):
+        self.suite = suite
+        self.out_dir = out_dir
+        self.cap = violation_cap_per_check
+
+    # -- compile -------------------------------------------------------------
+    def _flagged(self, df: DataFrame, partition_expr: Column) -> DataFrame:
+        cols = [
+            df["*"],
+            partition_expr.cast("string").alias("__part"),
+        ]
+        for i, rc in enumerate(self.suite.row_checks):
+            cols.append(F.coalesce(rc.violation, F.lit(False)).alias(f"__v{i}"))
+        return df.select(*cols)
+
+    def violations_plan(self, flagged: DataFrame) -> DataFrame:
+        """Exploded violation rows: (partition_id, check_name, row_key, detail)."""
+        suite = self.suite
+        structs = [
+            F.when(
+                F.col(f"__v{i}"),
+                F.struct(
+                    F.lit(rc.name).alias("check_name"),
+                    F.col(suite.row_key).cast("string").alias("row_key"),
+                    rc.detail_col().alias("detail"),
+                ),
+            )
+            for i, rc in enumerate(suite.row_checks)
+        ]
+        arr = F.array_compact(F.array(*structs))
+        return (
+            flagged.select(F.col("__part").alias("partition_id"), arr.alias("__viols"))
+            .filter(F.size("__viols") > 0)
+            .select("partition_id", F.explode("__viols").alias("v"))
+            .select(
+                "partition_id",
+                F.col("v.check_name").alias("check_name"),
+                F.col("v.row_key").alias("row_key"),
+                F.col("v.detail").alias("detail"),
+            )
+        )
+
+    def row_verdicts_plan(self, flagged: DataFrame) -> DataFrame:
+        """One groupBy: per-partition counts for every RowCheck at once."""
+        suite = self.suite
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, _rc in enumerate(suite.row_checks):
+            aggs.append(F.sum(F.col(f"__v{i}").cast("long")).alias(f"__c{i}"))
+        counted = flagged.groupBy(F.col("__part").alias("partition_id")).agg(*aggs)
+
+        verdict_structs = [
+            F.struct(
+                F.lit(rc.name).alias("check_name"),
+                (
+                    (F.col(f"__c{i}").cast("double") / F.col("__n"))
+                    <= F.lit(rc.max_violation_rate)
+                ).alias("passed"),
+                F.col(f"__c{i}").alias("violation_count"),
+                (F.col(f"__c{i}").cast("double") / F.col("__n")).alias("metric_value"),
+                F.lit(rc.max_violation_rate).alias("threshold"),
+            )
+            for i, rc in enumerate(suite.row_checks)
+        ]
+        return (
+            counted.select(
+                "partition_id", F.explode(F.array(*verdict_structs)).alias("v")
+            )
+            .select(
+                "partition_id",
+                F.col("v.check_name").alias("check_name"),
+                F.col("v.passed").alias("passed"),
+                F.col("v.violation_count").alias("violation_count"),
+                F.col("v.metric_value").alias("metric_value"),
+                F.col("v.threshold").alias("threshold"),
+            )
+        )
+
+    def agg_verdicts_plan(self, df: DataFrame, partition_expr: Column) -> DataFrame | None:
+        suite = self.suite
+        if not suite.agg_checks:
+            return None
+        base = df.withColumn("__part", partition_expr.cast("string"))
+        outs = []
+        for ac in suite.agg_checks:
+            plan = ac.plan(base, "__part")
+            if "violation_count" not in plan.columns:
+                plan = plan.withColumn("violation_count", F.lit(0).cast("long"))
+            outs.append(
+                plan.select(
+                    "partition_id",
+                    F.lit(ac.name).alias("check_name"),
+                    ac.passes().alias("passed"),
+                    F.col("violation_count").cast("long").alias("violation_count"),
+                    F.col("metric_value").cast("double").alias("metric_value"),
+                    F.lit(ac.threshold).alias("threshold"),
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    # -- execute ---------------------------------------------------------------
+    def run(
+        self,
+        df: DataFrame,
+        partition_expr: Column,
+        resume: bool = True,
+    ) -> SuiteResult:
+        spark = df.sparkSession
+        run_id = uuid.uuid4().hex[:12]
+
+        skipped = 0
+        if self.out_dir and resume:
+            committed = self.committed_partitions(spark)
+            if committed:
+                all_parts = [
+                    r[0]
+                    for r in df.select(partition_expr.cast("string").alias("p"))
+                    .distinct()
+                    .collect()
+                ]
+                remaining = sorted(set(all_parts) - set(committed))
+                skipped = len(all_parts) - len(remaining)
+                if not remaining:
+                    return SuiteResult(
+                        self._read_out("verdicts", spark),
+                        self._read_out("violations", spark),
+                        0,
+                        skipped,
+                    )
+                df = df.filter(partition_expr.cast("string").isin(remaining))
+
+        flagged = self._flagged(df, partition_expr)
+        verdicts = self.row_verdicts_plan(flagged)
+        aggv = self.agg_verdicts_plan(df, partition_expr)
+        if aggv is not None:
+            verdicts = verdicts.unionByName(aggv)
+        violations = self.violations_plan(flagged)
+
+        if self.out_dir:
+            self._commit(spark, run_id, df, partition_expr, verdicts, violations)
+            return SuiteResult(
+                self._read_out("verdicts", spark),
+                self._read_out("violations", spark),
+                -1,
+                skipped,
+            )
+        return SuiteResult(verdicts, violations, -1, skipped)
+
+    # -- checkpoint ---------------------------------------------------------------
+    def _path(self, name: str) -> str:
+        return str(Path(self.out_dir) / name)
+
+    def _read_out(self, name: str, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.parquet(self._path(name))
+        except Exception:
+            return spark.createDataFrame([], "partition_id string, check_name string")
+
+    def committed_partitions(self, spark: SparkSession) -> list[str]:
+        try:
+            lineage = spark.read.parquet(self._path("lineage"))
+        except Exception:
+            return []
+        return [
+            r[0]
+            for r in lineage.filter(F.col("suite_name") == self.suite.name)
+            .select("partition_id")
+            .distinct()
+            .collect()
+        ]
+
+    def _commit(
+        self,
+        spark: SparkSession,
+        run_id: str,
+        df: DataFrame,
+        partition_expr: Column,
+        verdicts: DataFrame,
+        violations: DataFrame,
+    ) -> None:
+        """Write outputs partitioned by partition_id (dynamic overwrite =
+        idempotent per-partition commit), then append lineage rows last."""
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            verdicts.repartition("partition_id")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(self._path("verdicts"))
+        )
+        (
+            violations.limit(self.cap * max(len(self.suite.row_checks), 1))
+            .repartition("partition_id")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(self._path("violations"))
+        )
+        lineage = (
+            df.groupBy(partition_expr.cast("string").alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows_scanned"))
+            .select(
+                F.lit(run_id).alias("run_id"),
+                "partition_id",
+                F.lit(self.suite.name).alias("suite_name"),
+                "rows_scanned",
+                F.lit(
+                    len(self.suite.row_checks) + len(self.suite.agg_checks)
+                ).cast("int").alias("checks_run"),
+                F.current_timestamp().alias("committed_at"),
+            )
+        )
+        lineage.write.mode("append").parquet(self._path("lineage"))

@@ -1,0 +1,1024 @@
+"""Driver-facing query registry: Spark implementation + DuckDB oracle SQL
+for every operator family (SURVEY.md §2 inventory + training-pipeline
+additions).
+
+Contract (per __spark_entry__): every entry in QUERIES has a matching
+ANSI-SQL string in ORACLES (unless genuinely non-SQL-expressible, e.g.
+hash-engine-specific SimHash); column names/aliases are identical on
+both sides; float aggregates go through an exact-decimal sum + one
+double division + round(4) so both engines produce bit-identical
+values regardless of aggregation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reviews_quality_check_spark.functions.quality import (
+    LANG_MARKERS,
+    LANG_PRIORITY,
+    STOPWORDS,
+)
+from reviews_quality_check_spark.functions import quality as Q
+from reviews_quality_check_spark.functions import readability as R
+from reviews_quality_check_spark.functions import sentiment_rules as SR
+from reviews_quality_check_spark.functions import text as TX
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+
+
+def _avg4(col, cnt=None):
+    """Exact decimal sum -> one double division -> round(4): the
+    engine-independent deterministic mean."""
+    s = F.sum(col.cast("decimal(28,10)")).cast("double")
+    c = cnt if cnt is not None else F.count(col)
+    return F.round(s / c, 4)
+
+
+def _sql_avg4(expr: str, cnt: str | None = None) -> str:
+    c = cnt or f"count({expr})"
+    return f"round(cast(sum(cast(({expr}) as decimal(28,10))) as double) / {c}, 4)"
+
+
+# SQL fragment builders (shared semantics with functions/*.py — built from
+# the same module constants so engine and oracle can't drift).
+SQL_TOKEN_RE = "[a-z0-9'']+"
+
+
+def sql_tokens(col: str) -> str:
+    return f"regexp_extract_all(lower({col}), '{SQL_TOKEN_RE}')"
+
+
+def sql_sentence_count(col: str) -> str:
+    return (
+        f"len(list_filter(list_transform(string_split_regex({col}, '[.!?]+'),"
+        f" s -> trim(s)), s -> s != ''))"
+    )
+
+
+def sql_syllables(tok_expr: str) -> str:
+    word = (
+        "greatest(len(regexp_extract_all(w, '[aeiouy]+'))"
+        " - (case when w like '%e' then 1 else 0 end)"
+        " + (case when w like '%le' and len(w) > 2 and"
+        " not regexp_matches(w[-3], '[aeiouy]') then 1 else 0 end), 1)"
+    )
+    return f"coalesce(list_sum(list_transform({tok_expr}, w -> {word})), 0)"
+
+
+def sql_flesch(text_col: str) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+    case when {text_col} is null or len({toks}) = 0 or {sql_sentence_count(text_col)} = 0
+         then 0.0
+         else greatest(0.0, least(100.0,
+              206.835
+              - 1.015 * (cast(len({toks}) as double) / cast({sql_sentence_count(text_col)} as double))
+              - 84.6 * (cast({sql_syllables(toks)} as double) / cast(len({toks}) as double))))
+    end"""
+
+
+def _sql_list(values) -> str:
+    return "[" + ", ".join("'" + v.replace("'", "''") + "'" for v in values) + "]"
+
+
+def sql_stopword_ratio(tok_expr: str) -> str:
+    stops = _sql_list(STOPWORDS)
+    return (
+        f"case when len({tok_expr}) > 0 then"
+        f" cast(len(list_filter({tok_expr}, t -> list_contains({stops}, t))) as double)"
+        f" / cast(len({tok_expr}) as double) else 0.0 end"
+    )
+
+
+def sql_punct_ratio(col: str) -> str:
+    pat = r"[.,;:!?'\"()\[\]-]".replace("'", "''")
+    return (
+        f"case when len({col}) > 0 then"
+        f" cast(len(regexp_extract_all({col}, '{pat}')) as double)"
+        f" / cast(len({col}) as double) else 0.0 end"
+    )
+
+
+def sql_mean_word_length(tok_expr: str) -> str:
+    return (
+        f"case when len({tok_expr}) > 0 then"
+        f" cast(coalesce(list_sum(list_transform({tok_expr}, w -> len(w))), 0) as double)"
+        f" / cast(len({tok_expr}) as double) else 0.0 end"
+    )
+
+
+def sql_quality_score(text_col: str) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+    case when {text_col} is null or len({toks}) = 0 then 0.0 else
+      0.35 * (case when len({toks}) between 5 and 5000 then 1.0 else 0.0 end)
+      + 0.25 * (case when ({sql_mean_word_length(toks)}) between 3.0 and 12.0 then 1.0 else 0.0 end)
+      + 0.20 * (1.0 - least(({sql_punct_ratio(text_col)}) * 5.0, 1.0))
+      + 0.20 * least(({sql_stopword_ratio(toks)}) * 4.0, 1.0)
+    end"""
+
+
+def sql_norm_text(col: str) -> str:
+    return f"regexp_replace(trim(lower({col})), '\\s+', ' ', 'g')"
+
+
+def sql_predict_lang(text_col: str) -> str:
+    toks = sql_tokens(text_col)
+    hit = {
+        lg: f"len(list_filter({toks}, t -> list_contains({_sql_list(LANG_MARKERS[lg])}, t)))"
+        for lg in LANG_PRIORITY
+    }
+    best = "greatest(" + ", ".join(hit.values()) + ")"
+    branches = " ".join(
+        f"when ({best}) > 0 and {hit[lg]} = ({best}) then '{lg}'" for lg in LANG_PRIORITY
+    )
+    return f"case {branches} else 'und' end"
+
+
+# ===========================================================================
+# 1. Relational operators on the TPC-H-ish tables (SURVEY §2.2-§2.7)
+# ===========================================================================
+
+
+@_register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(cast(sum(cast(l_quantity as decimal(28,10))) as double), 4) AS sum_qty,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,10))) as double), 4) AS revenue,
+           round(cast(sum(cast(l_quantity as decimal(28,10))) as double) / count(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with map-side combine (A3/A12).
+
+    Plan check: filter + column pruning push to the parquet scan; single
+    shuffle on the 2 grouping keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(28,10)")).cast("double"), 4).alias("sum_qty"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            _avg4(F.col("l_quantity")).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_lineitems,
+           round(cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(28,10))) as double), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join aggregate (J-family): fact-fact sort-merge/shuffle join on
+    orderkey, then BROADCAST joins against the small customer/nation dims
+    (explicit broadcast hints — at 100 TB the dims stay broadcast-able)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@_register(
+    "top_orders_per_nation",
+    oracle="""
+    SELECT nation, o_orderkey, total, rnk FROM (
+      SELECT n.n_name AS nation, o.o_orderkey AS o_orderkey,
+             round(cast(cast(o.o_totalprice as decimal(28,10)) as double), 4) AS total,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rnk <= 3
+    ORDER BY nation, rnk
+    """,
+)
+def top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking (W3/O1): top-3 orders by value per nation,
+    deterministic tie-break on orderkey."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("decimal(28,10)").cast("double"), 4).alias("total"),
+            F.col("o_totalprice"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("nation", "o_orderkey", "total", "rnk")
+        .orderBy("nation", "rnk")
+    )
+
+
+@_register(
+    "orders_referential_violations",
+    oracle="""
+    SELECT count(*) AS violation_count,
+           count(DISTINCT o_custkey) AS distinct_bad_keys
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def orders_referential_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential check (north_star): LEFT ANTI join of the fact against
+    the dimension emits violation rows; dimension side broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    bad = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+    return bad.agg(
+        F.count(F.lit(1)).alias("violation_count"),
+        F.countDistinct("o_custkey").alias("distinct_bad_keys"),
+    )
+
+
+@_register(
+    "event_type_windows",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS cnt,
+           round(cast(sum(cast(value as decimal(28,10))) as double) / count(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def event_type_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (§2.9 batch form): daily windows over
+    the event stream table."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 day").getField("start").cast("string").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), _avg4(F.col("value")).alias("avg_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+@_register(
+    "sample_strata_counts",
+    oracle="""
+    SELECT event_type, count(*) AS sampled
+    FROM events
+    WHERE ('0x' || substring(md5('42:' || event_type || ':' || cast(event_id as varchar)), 1, 8))::bigint % 100 < 10
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sample_strata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample (A13 re-expressed hash-based so the
+    'random' choice is reproducible on any cluster size)."""
+    from reviews_quality_check_spark.operators.sample import stratified_sample
+
+    e = _t(spark, sf_dir, "events")
+    s = stratified_sample(e, "event_type", 10, "event_id", seed="42")
+    return s.groupBy("event_type").agg(F.count(F.lit(1)).alias("sampled")).orderBy("event_type")
+
+
+# ===========================================================================
+# 2. Documents: column stats / readability / quality / lang-id / tokens
+# ===========================================================================
+
+
+@_register(
+    "doc_column_stats",
+    oracle="""
+    SELECT lang AS group_key,
+           count(*) AS row_count,
+           sum(case when text is null or trim(text) = '' then 1 else 0 end) AS blank_text,
+           count(DISTINCT source) AS distinct_sources,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           round(cast(sum(cast(n_chars as decimal(28,10))) as double) / count(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats pass per lang partition (north_star column stats;
+    exact-distinct oracle mode — HLL variant in operators/column_stats)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.col("lang").alias("group_key"))
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(
+                (F.col("text").isNull() | (F.trim(F.col("text")) == "")).cast("long")
+            ).alias("blank_text"),
+            F.countDistinct("source").alias("distinct_sources"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            _avg4(F.col("n_chars")).alias("avg_chars"),
+        )
+        .orderBy("group_key")
+    )
+
+
+@_register("flesch_by_lang")
+def flesch_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Flesch Reading Ease (F12/F13) aggregated per lang."""
+    d = _t(spark, sf_dir, "documents")
+    fl = R.flesch_reading_ease("text")
+    return (
+        d.select("lang", fl.alias("fl"))
+        .groupBy("lang")
+        .agg(
+            _avg4(F.col("fl")).alias("avg_flesch"),
+            F.round(F.min("fl"), 4).alias("min_flesch"),
+            F.round(F.max("fl"), 4).alias("max_flesch"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLES["flesch_by_lang"] = f"""
+    WITH scored AS (SELECT lang, ({sql_flesch('text')}) AS fl FROM documents)
+    SELECT lang,
+           {_sql_avg4('fl')} AS avg_flesch,
+           round(min(fl), 4) AS min_flesch,
+           round(max(fl), 4) AS max_flesch
+    FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
+@_register("quality_by_source")
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality-score heuristic aggregated per source; low_quality
+    = docs scoring < 0.5 (training-data filtering shape)."""
+    d = _t(spark, sf_dir, "documents")
+    qs = Q.quality_score("text")
+    return (
+        d.select("source", qs.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _avg4(F.col("q")).alias("avg_quality"),
+            F.sum((F.col("q") < 0.5).cast("long")).alias("low_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["quality_by_source"] = f"""
+    WITH scored AS (SELECT source, ({sql_quality_score('text')}) AS q FROM documents)
+    SELECT source, count(*) AS n_docs,
+           {_sql_avg4('q')} AS avg_quality,
+           sum(case when q < 0.5 then 1 else 0 end) AS low_quality
+    FROM scored GROUP BY source ORDER BY source
+"""
+
+
+@_register("lang_id_confusion")
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language-ID vs the labeled lang column: confusion
+    counts (labeled, predicted, n)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("labeled"), Q.predict_lang("text").alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+ORACLES["lang_id_confusion"] = f"""
+    SELECT lang AS labeled, ({sql_predict_lang('text')}) AS predicted, count(*) AS n
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@_register("token_stats_by_lang")
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + sentence stats per lang (F5/F6/A10 family)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = TX.tokens("text")
+    return (
+        d.select(
+            "lang",
+            F.size(tok).alias("n_tok"),
+            TX.sentence_count("text").alias("n_sent"),
+            Q.mean_word_length(tok).alias("mwl"),
+            Q.stopword_ratio(tok).alias("swr"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            _avg4(F.col("n_tok")).alias("avg_tokens"),
+            _avg4(F.col("n_sent")).alias("avg_sentences"),
+            _avg4(F.col("mwl")).alias("avg_word_len"),
+            _avg4(F.col("swr")).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLES["token_stats_by_lang"] = f"""
+    WITH t AS (
+      SELECT lang,
+             len({sql_tokens('text')}) AS n_tok,
+             {sql_sentence_count('text')} AS n_sent,
+             ({sql_mean_word_length(sql_tokens('text'))}) AS mwl,
+             ({sql_stopword_ratio(sql_tokens('text'))}) AS swr
+      FROM documents)
+    SELECT lang,
+           sum(n_tok) AS total_tokens,
+           {_sql_avg4('n_tok')} AS avg_tokens,
+           {_sql_avg4('n_sent')} AS avg_sentences,
+           {_sql_avg4('mwl')} AS avg_word_len,
+           {_sql_avg4('swr')} AS avg_stopword_ratio
+    FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+@_register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, md5({sql_norm_text('text')}) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 digest of the normalized text per doc —
+    identical hex across engines (dedup/lineage primitive)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.md5_fingerprint("text").alias("fingerprint")).orderBy("doc_id")
+
+
+@_register("ngram_diversity")
+def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram diversity ratios (A6): distinct/total for n=1,2,3;
+    unigrams stopword-filtered (reference review_analysis.py:494-497)."""
+    from reviews_quality_check_spark.operators.ngrams import ngram_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_diversity(d, "text", exact=True)
+    return out.select(
+        F.round("unigram_diversity", 4).alias("unigram_diversity"),
+        F.round("bigram_diversity", 4).alias("bigram_diversity"),
+        F.round("trigram_diversity", 4).alias("trigram_diversity"),
+    )
+
+
+_SQL_STOPS = _sql_list(STOPWORDS)
+ORACLES["ngram_diversity"] = f"""
+    WITH toks AS (SELECT {sql_tokens('text')} AS t FROM documents),
+    uni AS (SELECT unnest(list_filter(t, x -> NOT list_contains({_SQL_STOPS}, x))) AS ng FROM toks),
+    bi  AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ng FROM toks),
+    tri AS (SELECT unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ng FROM toks)
+    SELECT
+      (SELECT round(cast(count(DISTINCT ng) as double) / count(ng), 4) FROM uni) AS unigram_diversity,
+      (SELECT round(cast(count(DISTINCT ng) as double) / count(ng), 4) FROM bi) AS bigram_diversity,
+      (SELECT round(cast(count(DISTINCT ng) as double) / count(ng), 4) FROM tri) AS trigram_diversity
+"""
+
+
+@_register(
+    "bigram_top10",
+    oracle=f"""
+    WITH toks AS (SELECT {sql_tokens('text')} AS t FROM documents),
+    bi AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ngram FROM toks)
+    SELECT ngram, count(*) AS cnt FROM bi
+    GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 10
+    """,
+)
+def bigram_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bigram frequency table (A7/O2): explode → count → top-k
+    (compiles to TakeOrderedAndProject, no global sort)."""
+    from reviews_quality_check_spark.operators.ngrams import ngram_frequencies
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_frequencies(d, "text", n=2, top_k=10)
+
+
+# ===========================================================================
+# 3. Deduplication / similarity (exact, MinHash-LSH, Jaccard, SimHash)
+# ===========================================================================
+
+
+@_register(
+    "exact_dup_groups",
+    oracle=f"""
+    SELECT md5({sql_norm_text('text')}) AS fingerprint,
+           array_to_string(list_sort(list(doc_id)), ',') AS member_ids,
+           count(*) AS group_size
+    FROM documents
+    GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY fingerprint
+    """,
+)
+def exact_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups (A1): hash aggregate on the md5 fingerprint;
+    member list serialized for engine-independent comparison."""
+    from reviews_quality_check_spark.operators.dedup import exact_dup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    g = exact_dup_groups(d, "text", "doc_id")
+    return g.select(
+        "fingerprint",
+        F.concat_ws(",", F.transform(F.col("member_ids"), lambda x: x.cast("string"))).alias(
+            "member_ids"
+        ),
+        "group_size",
+    ).orderBy("fingerprint")
+
+
+@_register(
+    "duplicate_metrics",
+    oracle=f"""
+    WITH g AS (
+      SELECT count(*) AS gs FROM documents
+      GROUP BY md5({sql_norm_text('text')}) HAVING count(*) >= 2)
+    SELECT coalesce(sum(gs - 1), 0) AS duplicates_found,
+           count(*) AS duplicate_groups
+    FROM g
+    """,
+)
+def duplicate_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both reference duplicate metrics (SURVEY §4.1 quirk 7): Σ(group-1)
+    and group count."""
+    from reviews_quality_check_spark.operators.dedup import duplicate_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_metrics(d, "text", "doc_id")
+
+
+def _sql_minhash_sig(tok: str, num_hashes: int, k: int = 3) -> str:
+    """DuckDB minhash signature over k-shingles of the token array."""
+    sh = f"list_distinct(list_transform(range(1, len({tok}) - {k - 2}), i -> {tok}[i] || ' ' || {tok}[i+1] || ' ' || {tok}[i+2]))"
+    return (
+        f"list_transform(range(0, {num_hashes}), i -> "
+        f"list_aggregate(list_transform({sh}, s -> md5(i::varchar || ':' || s)), 'min'))"
+    )
+
+
+def _sql_lsh_bands(sig: str, bands: int, rpb: int) -> str:
+    return (
+        f"list_transform(range(0, {bands}), j -> "
+        f"md5(array_to_string(({sig})[j*{rpb}+1 : j*{rpb}+{rpb}], '|')))"
+    )
+
+
+_MINHASH_CTE = f"""
+    WITH sigs AS (
+      SELECT doc_id AS id,
+             {_sql_minhash_sig(sql_tokens('text'), 16)} AS sig
+      FROM documents
+      WHERE len({sql_tokens('text')}) >= 3),
+    banded AS (
+      SELECT id, unnest({_sql_lsh_bands('sig', 4, 4)}) AS band FROM sigs)
+"""
+
+
+@_register(
+    "minhash_lsh_candidates",
+    oracle=_MINHASH_CTE
+    + """
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+    ORDER BY id_a, id_b
+    """,
+)
+def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (north_star near-dup path): 16 md5
+    min-hashes, 4 bands × 4 rows; banding join replaces the O(n²) loop."""
+    from reviews_quality_check_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, "text", "doc_id").orderBy("id_a", "id_b")
+
+
+def _sql_simset(col: str) -> str:
+    """DuckDB version of the reference similarity n-gram set (word +
+    char-3grams + word-3grams) over whitespace words of normalized text."""
+    words = f"(case when {sql_norm_text(col)} = '' then [] else string_split({sql_norm_text(col)}, ' ') end)"
+    chars = (
+        f"flatten(list_transform({words}, w -> "
+        f"list_concat(list_transform(range(1, len(w) - 1), i -> w[i:i+2]), [w])))"
+    )
+    w3 = f"list_transform(range(1, len({words}) - 1), i -> {words}[i] || ' ' || {words}[i+1] || ' ' || {words}[i+2])"
+    return f"list_distinct(list_concat({chars}, {w3}))"
+
+
+@_register(
+    "near_dup_pairs",
+    oracle=_MINHASH_CTE
+    + f""",
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id),
+    docs AS (
+      SELECT doc_id, text, md5({sql_norm_text('text')}) AS fp,
+             {_sql_simset('text')} AS ngset
+      FROM documents),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             cast(len(list_filter(da.ngset, x -> list_contains(db.ngset, x))) as double)
+             / cast(len(list_distinct(list_concat(da.ngset, db.ngset))) as double) AS sim
+      FROM cands c
+      JOIN docs da ON da.doc_id = c.id_a
+      JOIN docs db ON db.doc_id = c.id_b
+      WHERE da.fp <> db.fp)
+    SELECT id_a, id_b, round(sim, 4) AS similarity,
+           case when sim >= 0.9 then 'critical'
+                when sim >= 0.8 then 'high'
+                when sim >= 0.7 then 'moderate' end AS tier
+    FROM scored WHERE sim >= 0.7
+    ORDER BY id_a, id_b
+    """,
+)
+def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with exact reference Jaccard + tier buckets
+    (similarity.py:102-199 re-expressed sub-quadratically)."""
+    from reviews_quality_check_spark.operators.dedup import near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = near_dup_pairs(d, "text", "doc_id", threshold=0.7)
+    return out.select(
+        "id_a", "id_b", F.round("similarity", 4).alias("similarity"), "tier"
+    ).orderBy("id_a", "id_b")
+
+
+@_register("simhash_buckets")  # hash-engine-specific: rows-only check
+def simhash_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 bucket assignment (xxhash64-based — deterministic within
+    Spark, not oracle-matched; driver records the rows-only check)."""
+    from reviews_quality_check_spark.operators.dedup import simhash_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_buckets(d, "text", "doc_id").orderBy("doc_id")
+
+
+# ===========================================================================
+# 4. Embedding similarity search (ANN)
+# ===========================================================================
+
+
+@_register(
+    "ann_brute_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, len(q.embedding) + 1),
+                         i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double)),
+                         (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(q.embedding, x -> cast(x as double) * cast(x as double)), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(c.embedding, x -> cast(x as double) * cast(x as double)), (a, b) -> a + b)))
+             AS cos_sim
+      FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors: broadcast
+    query side × corpus, zip_with dot products (JVM-side), window rank."""
+    from reviews_quality_check_spark.operators.ann import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(e, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+# ===========================================================================
+# 5. Sentiment-mismatch validation (reference rule chain, surrogate scorer)
+# ===========================================================================
+
+
+def _sql_esc(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _sql_any_contains(col: str, phrases) -> str:
+    return "(" + " OR ".join(f"contains({col}, '{_sql_esc(p)}')" for p in phrases) + ")"
+
+
+def _sql_count_contains(col: str, phrases) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(case when contains({col}, '{_sql_esc(p)}') then 1 else 0 end)" for p in phrases
+        )
+        + ")"
+    )
+
+
+def _sql_count_tokens(tok: str, words) -> str:
+    return f"len(list_filter({tok}, t -> list_contains({_sql_list(words)}, t)))"
+
+
+def _sql_any_regex(col: str, patterns) -> str:
+    return "(" + " OR ".join(f"regexp_matches({col}, '{_sql_esc(p)}')" for p in patterns) + ")"
+
+
+def _sentiment_sql() -> str:
+    tech = SR.DOMAIN_INDICATORS["technology"]
+    thr = SR.THRESHOLDS_BINARY
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, lower(text) AS tl, {sql_tokens('text')} AS toks,
+             CASE cast(doc_id % 3 as int) WHEN 0 THEN 'positive'
+                                          WHEN 1 THEN 'negative'
+                                          ELSE 'neutral' END AS labeled
+      FROM documents),
+    feat AS (
+      SELECT *,
+        {_sql_count_tokens('toks', SR.SURROGATE_POSITIVE)} AS pos,
+        {_sql_count_tokens('toks', SR.SURROGATE_NEGATIVE)} AS neg,
+        {_sql_any_contains('tl', SR.CONTRAST_MARKERS)} AS has_contrast,
+        len(toks) AS n_words,
+        len(string_split_regex(text, '[.!?]+')) > 1 AS multi,
+        {_sql_count_contains('tl', tech['positive'])} AS dpos,
+        {_sql_count_contains('tl', tech['negative'])} AS dneg,
+        {_sql_count_contains('tl', tech['neutral_markers'])} AS dneu,
+        {_sql_any_contains('tl', SR.NEUTRAL_INDICATORS)} AS has_ind,
+        {_sql_count_contains('tl', SR.NEUTRAL_INDICATORS)} AS ncount,
+        {_sql_any_regex('tl', SR.NEUTRAL_PATTERNS)} AS has_pat
+      FROM base),
+    m AS (SELECT *,
+        CASE WHEN pos > neg THEN 'positive'
+             WHEN neg > pos THEN 'negative' ELSE 'neutral' END AS pred0,
+        CASE WHEN pos = neg THEN greatest(0.50, least(0.88, 0.88 - 0.04 * (pos + neg)))
+             ELSE least(0.98, 0.62 + 0.09 * abs(pos - neg)) END AS conf0,
+        CASE WHEN dneu > 0 AND (dpos + dneg) <= dneu THEN 'neutral'
+             WHEN dpos > dneg THEN 'positive'
+             WHEN dneg > dpos THEN 'negative' END AS dsent
+      FROM feat),
+    mg AS (SELECT *,
+        CASE WHEN dsent IS NOT NULL AND dsent <> pred0 AND conf0 < 0.80
+             THEN dsent ELSE pred0 END AS pred1,
+        CASE WHEN dsent IS NOT NULL AND dsent <> pred0 AND conf0 < 0.80
+             THEN conf0 * 0.85 ELSE conf0 END AS conf1
+      FROM m),
+    a1 AS (SELECT *, CASE WHEN has_contrast THEN conf1 * 0.9 ELSE conf1 END AS adj1 FROM mg),
+    a2 AS (SELECT *, CASE WHEN multi AND n_words > 20 THEN adj1 * 0.95 ELSE adj1 END AS adj2 FROM a1),
+    a3 AS (SELECT *, CASE WHEN ncount > 1 THEN least(adj2 * 1.1, 1.0) ELSE adj2 END AS adj3 FROM a2),
+    fin AS (SELECT *,
+        CASE WHEN has_ind OR has_pat THEN 'neutral' ELSE pred1 END AS predicted,
+        CASE WHEN has_ind OR has_pat THEN adj3 ELSE conf1 END AS confidence
+      FROM a3)
+    SELECT doc_id, labeled, predicted, round(confidence, 4) AS confidence,
+           CASE WHEN labeled = 'neutral'
+                THEN confidence > {thr['neutral']} AND predicted <> 'neutral'
+                ELSE predicted <> labeled AND confidence >= (
+                     CASE predicted WHEN 'neutral' THEN {thr['neutral']}
+                                    WHEN 'positive' THEN {thr['positive']}
+                                    WHEN 'negative' THEN {thr['negative']}
+                                    ELSE {thr['default']} END)
+           END AS is_mismatch
+    FROM fin ORDER BY doc_id
+    """
+
+
+@_register("sentiment_validation")
+def sentiment_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference sentiment-validation chain (F15-F24, quirks #3-#5)
+    over documents with a deterministic pseudo-label (doc_id % 3) and
+    domain='technology'. Every step is a Column expression."""
+    d = _t(spark, sf_dir, "documents")
+    labeled = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("positive"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+    base = d.select("doc_id", "text", labeled.alias("labeled"), F.lit("technology").alias("domain"))
+    cols = SR.validate_sentiment_columns(F.col("text"), F.col("labeled"), F.col("domain"))
+    return (
+        base.withColumns(cols)
+        .select(
+            "doc_id",
+            "labeled",
+            "predicted",
+            F.round("confidence", 4).alias("confidence"),
+            "is_mismatch",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["sentiment_validation"] = _sentiment_sql()
+
+
+@_register("sentiment_mismatch_summary")
+def sentiment_mismatch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mismatch counts + conditional mean confidence over
+    mismatches (A4, review_analysis.py:313-315)."""
+    d = _t(spark, sf_dir, "documents")
+    labeled = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("positive"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+    base = d.select("doc_id", "text", labeled.alias("labeled"), F.lit("technology").alias("domain"))
+    cols = SR.validate_sentiment_columns(F.col("text"), F.col("labeled"), F.col("domain"))
+    v = base.withColumns(cols)
+    return (
+        v.groupBy("labeled")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_mismatch").cast("long")).alias("mismatches"),
+            F.round(
+                F.sum(F.when(F.col("is_mismatch"), F.col("confidence")).cast("decimal(28,10)")).cast("double")
+                / F.sum(F.col("is_mismatch").cast("long")),
+                4,
+            ).alias("avg_mismatch_confidence"),
+        )
+        .orderBy("labeled")
+    )
+
+
+ORACLES["sentiment_mismatch_summary"] = f"""
+    WITH v AS ({_sentiment_sql().replace("round(confidence, 4) AS confidence", "confidence")})
+    SELECT labeled, count(*) AS n,
+           sum(case when is_mismatch then 1 else 0 end) AS mismatches,
+           round(cast(sum(cast(case when is_mismatch then confidence end as decimal(28,10))) as double)
+                 / sum(case when is_mismatch then 1 else 0 end), 4) AS avg_mismatch_confidence
+    FROM v GROUP BY labeled ORDER BY labeled
+"""
+
+
+# ===========================================================================
+# 6. Distribution drift across time windows (KL / PSI)
+# ===========================================================================
+
+
+_DRIFT_SQL = """
+    WITH hist AS (
+      SELECT date_trunc('day', ts) AS w, event_type AS cat, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    probs AS (
+      SELECT w, cat, cast(c as double) / sum(cast(c as double)) OVER (PARTITION BY w) AS p
+      FROM hist),
+    wm AS (
+      SELECT w, lag(w) OVER (ORDER BY w) AS pw
+      FROM (SELECT DISTINCT w FROM hist)),
+    cur AS (
+      SELECT probs.w, probs.cat, probs.p, wm.pw
+      FROM probs JOIN wm ON probs.w = wm.w WHERE wm.pw IS NOT NULL),
+    prev AS (
+      SELECT wm.w AS nw, probs.cat, probs.p AS pp
+      FROM probs JOIN wm ON probs.w = wm.pw),
+    aligned AS (
+      SELECT coalesce(cur.w, prev.nw) AS w,
+             coalesce(cur.cat, prev.cat) AS cat,
+             cur.p, prev.pp
+      FROM cur FULL OUTER JOIN prev ON cur.w = prev.nw AND cur.cat = prev.cat)
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           round(sum(greatest(coalesce(p, 0.0), 1e-6)
+                     * ln(greatest(coalesce(p, 0.0), 1e-6) / greatest(coalesce(pp, 0.0), 1e-6))), 4) AS drift
+    FROM aligned GROUP BY w ORDER BY window_start
+"""
+
+
+@_register("drift_kl_daily", oracle=_DRIFT_SQL)
+def drift_kl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily KL drift of the event_type distribution vs the previous day
+    (north_star drift check; A8/J6 re-expressed over windows)."""
+    from reviews_quality_check_spark.operators.drift import categorical_window_drift
+
+    e = _t(spark, sf_dir, "events")
+    out = categorical_window_drift(e, "ts", "event_type", "1 day", metric="kl")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.round("drift", 4).alias("drift"),
+    ).orderBy("window_start")
+
+
+# ===========================================================================
+# 7. Constraint-suite verdicts (the engine's flagship shape)
+# ===========================================================================
+
+_DOC_LANGS = ("en", "es", "de", "fr", "zh")
+
+
+@_register("suite_verdicts")
+def suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: compile a 4-check Suite over documents partitioned by
+    lang; emit per-partition verdicts (north_rule pass/fail shape).
+    not_blank(text) + in_set(lang) + in_range(n_chars) + unique(doc_id)."""
+    from reviews_quality_check_spark.plans import checks as C
+    from reviews_quality_check_spark.plans.runner import SuiteRunner
+
+    d = _t(spark, sf_dir, "documents")
+    suite = C.Suite(name="documents_suite", row_key="doc_id")
+    suite.add(C.not_blank("text"))
+    suite.add(C.in_set("lang", _DOC_LANGS))
+    suite.add(C.in_range("n_chars", 1, 10000))
+    suite.add(C.uniqueness("doc_id"))
+    res = SuiteRunner(suite).run(d, F.col("lang"), resume=False)
+    return res.verdicts.select(
+        "partition_id",
+        "check_name",
+        "passed",
+        "violation_count",
+        F.round("metric_value", 4).alias("metric_value"),
+        F.round("threshold", 4).alias("threshold"),
+    ).orderBy("partition_id", "check_name")
+
+
+ORACLES["suite_verdicts"] = f"""
+    WITH counts AS (
+      SELECT lang AS partition_id, count(*) AS n,
+        sum(case when text is null or length(trim(text)) = 0 then 1 else 0 end) AS c_blank,
+        sum(case when lang is null or lang not in {str(tuple(_DOC_LANGS))} then 1 else 0 end) AS c_lang,
+        sum(case when n_chars is null or n_chars < 1 or n_chars > 10000 then 1 else 0 end) AS c_range
+      FROM documents GROUP BY lang),
+    uniq AS (
+      SELECT partition_id, coalesce(sum(cnt - 1), 0) AS dups FROM (
+        SELECT lang AS partition_id, doc_id, count(*) AS cnt
+        FROM documents GROUP BY 1, 2 HAVING count(*) >= 2)
+      GROUP BY partition_id),
+    merged AS (SELECT counts.*, coalesce(uniq.dups, 0) AS dups
+               FROM counts LEFT JOIN uniq USING (partition_id))
+    SELECT partition_id, 'not_blank_text' AS check_name,
+           c_blank = 0 AS passed, cast(c_blank as bigint) AS violation_count,
+           round(cast(c_blank as double) / n, 4) AS metric_value, 0.0 AS threshold
+    FROM merged
+    UNION ALL
+    SELECT partition_id, 'in_set_lang', c_lang = 0, cast(c_lang as bigint),
+           round(cast(c_lang as double) / n, 4), 0.0 FROM merged
+    UNION ALL
+    SELECT partition_id, 'in_range_n_chars', c_range = 0, cast(c_range as bigint),
+           round(cast(c_range as double) / n, 4), 0.0 FROM merged
+    UNION ALL
+    SELECT partition_id, 'unique_doc_id', dups = 0, cast(dups as bigint),
+           round(cast(dups as double), 4), 0.0 FROM merged
+    ORDER BY partition_id, check_name
+"""
