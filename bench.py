@@ -1,0 +1,128 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line to stdout:
+
+  {"metric": "validated_pages_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+The headline metric is the north-star shape: pages/second validated by
+the flagship constraint suite over a synthetic Common-Crawl-style pages
+table (BASELINE.json input_hint shape) generated in-Spark at a size
+proportional to the SF. Query executions force full materialization via
+the noop sink (no driver collect bottleneck).
+
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py, which shells out to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    "suite_verdicts",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_nation",
+    "orders_referential_violations",
+    "event_type_windows",
+    "drift_kl_daily",
+    "doc_column_stats",
+    "flesch_by_lang",
+    "quality_by_source",
+    "token_stats_by_lang",
+    "lang_id_confusion",
+    "ngram_diversity",
+    "bigram_top10",
+    "exact_dup_groups",
+    "minhash_lsh_candidates",
+    "near_dup_pairs",
+    "simhash_buckets",
+    "ann_brute_topk",
+    "sentiment_validation",
+    "sample_strata_counts",
+]
+
+# pages rows per unit SF (sf0.1 -> 300k synthetic pages)
+PAGES_PER_SF = 3_000_000
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.queries import QUERIES
+    from reviews_quality_check_spark.session import get_spark
+    from reviews_quality_check_spark.sources.pages import synth_pages
+
+    n_cores = int(cpus) if cpus != "*" else (os.cpu_count() or 8)
+    spark = get_spark(app_name="rqc-bench", cores=cpus, shuffle_partitions=n_cores * 2)
+
+    def materialize(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    # north-star headline: constraint-suite validation throughput on the
+    # pages shape (url/warc_ts/html/text/lang), suite = null/blank + lang
+    # referential + uniqueness(url) + readability floor
+    from reviews_quality_check_spark.functions.readability import flesch_reading_ease
+    from reviews_quality_check_spark.plans import checks as C
+    from reviews_quality_check_spark.plans.runner import SuiteRunner
+    from reviews_quality_check_spark.sources.pages import VALID_LANGS
+
+    n_pages = max(int(PAGES_PER_SF * sf), 10_000)
+    pages = synth_pages(spark, n_pages)
+    suite = C.Suite(name="pages_suite", row_key="url")
+    suite.add(C.not_blank("text"))
+    suite.add(C.in_set("lang", VALID_LANGS))
+    suite.add(C.expression_floor("flesch_floor", flesch_reading_ease("text"), 5.0))
+    suite.add(C.uniqueness("url"))
+
+    t0 = time.perf_counter()
+    res = SuiteRunner(suite).run(pages, F.to_date("warc_ts").cast("string"), resume=False)
+    materialize(res.verdicts)
+    materialize(res.violations)
+    suite_sec = time.perf_counter() - t0
+    timings["pages_suite_validation"] = round(suite_sec, 3)
+    pages_per_sec = round(n_pages / suite_sec, 1)
+    print(
+        f"[bench] pages_suite_validation: {suite_sec:.2f}s "
+        f"({n_pages} pages -> {pages_per_sec} pages/s)",
+        file=sys.stderr,
+    )
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": n_cores,
+        "pages_validated": n_pages,
+        "validated_pages_per_sec": pages_per_sec,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

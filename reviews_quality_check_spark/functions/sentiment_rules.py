@@ -117,19 +117,18 @@ SURROGATE_NEGATIVE: tuple[str, ...] = (
 # --- building blocks ---------------------------------------------------------
 def _substr_hits(text_lower: Column, phrases: tuple[str, ...]) -> Column:
     """Count of phrases contained (substring match) in the text —
-    reference sentiment.py:188-199 semantics ('fairly' matches 'fair')."""
-    hits = [F.when(text_lower.contains(p), 1).otherwise(0) for p in phrases]
-    out = hits[0]
-    for h in hits[1:]:
-        out = out + h
-    return out
+    reference sentiment.py:188-199 semantics ('fairly' matches 'fair').
+
+    Array-literal + filter instead of N chained predicates: one loop in
+    codegen instead of N branches (the phrase lists are 10-45 long and
+    this chain appears ~8× per validation plan)."""
+    arr = F.array([F.lit(p) for p in phrases])
+    return F.size(F.filter(arr, lambda p: F.contains(text_lower, p)))
 
 
 def _substr_any(text_lower: Column, phrases: tuple[str, ...]) -> Column:
-    cond = text_lower.contains(phrases[0])
-    for p in phrases[1:]:
-        cond = cond | text_lower.contains(p)
-    return cond
+    arr = F.array([F.lit(p) for p in phrases])
+    return F.exists(arr, lambda p: F.contains(text_lower, p))
 
 
 def _token_hits(tok: Column, words: tuple[str, ...]) -> Column:
@@ -197,13 +196,20 @@ def threshold_for(sentiment: Column) -> Column:
 
 
 def validate_sentiment_columns(
-    text: Column, labeled: Column, domain_col: Column
+    text: Column, labeled: Column, domain_col: Column,
+    text_lower: Column | None = None, tok: Column | None = None,
 ) -> dict[str, Column]:
     """The full validate_sentiment chain (sentiment.py:399-513) as a dict
     of named Column expressions; attach with ``df.withColumns(...)``.
+
+    Pass pre-projected ``text_lower``/``tok`` columns (see
+    validate_sentiments) — the chain references them ~100×, and leaving
+    them as inline subtrees multiplies codegen size and eval cost.
     """
-    text_lower = F.lower(text)
-    tok = tokens(text)
+    if text_lower is None:
+        text_lower = F.lower(text)
+    if tok is None:
+        tok = tokens(text)
 
     # 2. context — sentiment.py:224-249 (substring contrast, token negation,
     #    multi-sentence counts empty fragments)
@@ -252,6 +258,16 @@ def validate_sentiment_columns(
 
 def validate_sentiments(df: DataFrame, text_col: str = "text",
                         label_col: str = "sentiment", domain_col: str = "domain") -> DataFrame:
-    """Attach the validation columns to a reviews-shaped DataFrame."""
-    cols = validate_sentiment_columns(F.col(text_col), F.col(label_col), F.col(domain_col))
-    return df.withColumns(cols)
+    """Attach the validation columns to a reviews-shaped DataFrame.
+
+    Stages lower(text) and the token array as real projected columns
+    first so the downstream ~100 substring/regex predicates reference
+    attributes instead of re-deriving the subtrees."""
+    staged = df.withColumns(
+        {"__tl": F.lower(F.col(text_col)), "__tok": tokens(F.col(text_col))}
+    )
+    cols = validate_sentiment_columns(
+        F.col(text_col), F.col(label_col), F.col(domain_col),
+        text_lower=F.col("__tl"), tok=F.col("__tok"),
+    )
+    return staged.withColumns(cols).drop("__tl", "__tok")

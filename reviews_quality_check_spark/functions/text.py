@@ -112,15 +112,21 @@ def whitespace_words(col: Column | str) -> Column:
     return F.when(nt == "", F.array().cast("array<string>")).otherwise(F.split(nt, " "))
 
 
+def similarity_ngram_set_from_words(words: Column, n: int = 3) -> Column:
+    """similarity_ngram_set over an already-materialized words column —
+    use this form inside operators (project words first, then build the
+    set) so codegen doesn't re-derive the words array per n-gram element."""
+    return F.array_distinct(
+        F.concat(char_ngrams_per_word(words, n), word_ngrams(words, n))
+    )
+
+
 def similarity_ngram_set(col: Column | str, n: int = 3) -> Column:
     """The reference's n-gram set for pairwise Jaccard similarity
     (analyzers/similarity.py:84-100): every whitespace word, plus char
     n-grams of words >= n chars, plus word-level n-grams.
     """
-    words = whitespace_words(col)
-    return F.array_distinct(
-        F.concat(char_ngrams_per_word(words, n), word_ngrams(words, n))
-    )
+    return similarity_ngram_set_from_words(whitespace_words(col), n)
 
 
 def md5_fingerprint(col: Column | str) -> Column:

@@ -25,8 +25,10 @@ from reviews_quality_check_spark.functions.text import (
     md5_fingerprint,
     norm_text,
     shingles,
-    similarity_ngram_set,
+    similarity_ngram_set_from_words,
     tokens,
+    whitespace_words,
+    word_ngrams,
 )
 
 # ---------------------------------------------------------------------------
@@ -144,10 +146,22 @@ def minhash_lsh_candidates(
     the pair blow-up is bounded by bucket sizes, not n².
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, shingle_k)
+    # Project step-by-step so each intermediate (tokens → shingles → sig)
+    # is computed ONCE per row as a column reference; inlining the whole
+    # tree into the transform() lambdas makes codegen re-evaluate the
+    # token/shingle subtree per hash permutation (~16× the work).
+    sh = F.array_distinct(word_ngrams(F.col("__tok"), shingle_k))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
     banded = (
-        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-        .filter(F.col("sig").isNotNull())
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
+        .select("id", sh.alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .select("id", sig.alias("sig"))
         .select("id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band"))
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -175,20 +189,25 @@ def near_dup_pairs(
     from the joined texts, keeping the candidate relation narrow (two ids).
     """
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
-    # exclude exact duplicates (reference similarity.py:161 anti-membership)
+    # Pre-compute the n-gram set ONCE per doc (before the pair join): at
+    # scale each doc participates in many candidate pairs — deriving the
+    # set pair-side would multiply the heavy text work by the fan-out.
+    # Also excludes exact duplicates (reference similarity.py:161).
     fp = df.select(
-        F.col(id_col).alias("id"), md5_fingerprint(text_col).alias("fp"),
-        F.col(text_col).alias("txt"),
+        F.col(id_col).alias("id"),
+        md5_fingerprint(text_col).alias("fp"),
+        whitespace_words(text_col).alias("__words"),
+    ).select(
+        "id", "fp", similarity_ngram_set_from_words(F.col("__words"), shingle_k).alias("ngset")
     )
     joined = (
         cands.join(fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"),
-                             F.col("txt").alias("text_a")), "id_a")
+                             F.col("ngset").alias("set_a")), "id_a")
         .join(fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"),
-                        F.col("txt").alias("text_b")), "id_b")
+                        F.col("ngset").alias("set_b")), "id_b")
         .filter(F.col("fp_a") != F.col("fp_b"))
     )
-    set_a = similarity_ngram_set(F.col("text_a"), shingle_k)
-    set_b = similarity_ngram_set(F.col("text_b"), shingle_k)
+    set_a, set_b = F.col("set_a"), F.col("set_b")
     inter = F.size(F.array_intersect(set_a, set_b))
     union = F.size(F.array_union(set_a, set_b))
     sim = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))

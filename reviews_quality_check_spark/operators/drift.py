@@ -35,6 +35,9 @@ def kl_divergence(real: DataFrame, synth: DataFrame) -> DataFrame:
     qn = F.col("q") / F.col("qs")
     term = (
         F.when((F.col("ps") == 0) | (F.col("qs") == 0), F.lit(0.0))
+        # real>0 vs synth=0: +Infinity, matching scipy.entropy (explicit
+        # because Spark's double division/log would null the row out)
+        .when((F.col("p") > 0) & (F.col("q") == 0), F.lit(float("inf")))
         .when(F.col("p") > 0, pn * F.log(pn / qn))
         .otherwise(F.lit(0.0))
     )
@@ -45,13 +48,16 @@ def kl_divergence(real: DataFrame, synth: DataFrame) -> DataFrame:
 
 
 def window_histogram(
-    df: DataFrame, ts_col: str, cat_col: str, window_expr: str = "1 day"
+    df: DataFrame, ts_col: str, cat_col: str, window_expr: str = "1 day",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Per-window normalized categorical histogram:
-    (window_start, category, cnt, p)."""
+    (window_start, category, cnt, p). ``count_col`` sums pre-aggregated
+    counts (streaming history rows) instead of counting raw rows."""
     win = F.window(F.col(ts_col), window_expr).getField("start").alias("window_start")
+    agg = F.sum(count_col) if count_col else F.count(F.lit(1))
     hist = df.groupBy(win, F.col(cat_col).alias("category")).agg(
-        F.count(F.lit(1)).alias("cnt")
+        agg.alias("cnt")
     )
     wtot = Window.partitionBy("window_start")
     return hist.withColumn(
@@ -66,6 +72,7 @@ def categorical_window_drift(
     window_expr: str = "1 day",
     metric: str = "kl",
     eps: float = 1e-6,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Per-window drift vs the previous window over a categorical column.
 
@@ -77,7 +84,7 @@ def categorical_window_drift(
     The window→previous-window map is computed with a single-partition
     lag — safe because it is |windows| rows, not input rows.
     """
-    probs = window_histogram(df, ts_col, cat_col, window_expr)
+    probs = window_histogram(df, ts_col, cat_col, window_expr, count_col=count_col)
 
     wmap = (
         probs.select("window_start")

@@ -858,8 +858,13 @@ def sentiment_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, F.lit("negative"))
         .otherwise(F.lit("neutral"))
     )
-    base = d.select("doc_id", "text", labeled.alias("labeled"), F.lit("technology").alias("domain"))
-    cols = SR.validate_sentiment_columns(F.col("text"), F.col("labeled"), F.col("domain"))
+    base = d.select(
+        "doc_id", "text", labeled.alias("labeled"), F.lit("technology").alias("domain")
+    ).withColumns({"__tl": F.lower(F.col("text")), "__tok": TX.tokens("text")})
+    cols = SR.validate_sentiment_columns(
+        F.col("text"), F.col("labeled"), F.col("domain"),
+        text_lower=F.col("__tl"), tok=F.col("__tok"),
+    )
     return (
         base.withColumns(cols)
         .select(
@@ -886,8 +891,13 @@ def sentiment_mismatch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, F.lit("negative"))
         .otherwise(F.lit("neutral"))
     )
-    base = d.select("doc_id", "text", labeled.alias("labeled"), F.lit("technology").alias("domain"))
-    cols = SR.validate_sentiment_columns(F.col("text"), F.col("labeled"), F.col("domain"))
+    base = d.select(
+        "doc_id", "text", labeled.alias("labeled"), F.lit("technology").alias("domain")
+    ).withColumns({"__tl": F.lower(F.col("text")), "__tok": TX.tokens("text")})
+    cols = SR.validate_sentiment_columns(
+        F.col("text"), F.col("labeled"), F.col("domain"),
+        text_lower=F.col("__tl"), tok=F.col("__tok"),
+    )
     v = base.withColumns(cols)
     return (
         v.groupBy("labeled")

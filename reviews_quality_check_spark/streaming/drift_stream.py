@@ -1,0 +1,105 @@
+"""Structured Streaming drift monitoring (§2.9).
+
+The reference is strictly batch; the north_star adds drift across
+``warc_ts`` windows. The batch form lives in operators/drift.py; this
+module provides the streaming counterpart: a watermark-bounded windowed
+histogram stream plus an ``applyInPandasWithState``-free drift stage
+(foreachBatch joins each micro-batch's windows against the previous
+state table — deterministic and restart-safe via checkpointLocation).
+
+Design: windowed aggregation is the ONLY stateful streaming operator
+used; KL against the previous window is computed per micro-batch from
+the (tiny) aggregated sink — no custom state store needed, so the
+pipeline survives Spark version upgrades and scales with executor
+count, not state size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_histogram_stream(
+    stream: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    window_expr: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """readStream side: per-window per-category counts with late-data
+    bound = ``watermark`` (append-mode-compatible: windows close once
+    the watermark passes)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_expr).alias("win"),
+            F.col(cat_col).alias("category"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win").getField("start").alias("window_start"),
+            "category",
+            "cnt",
+        )
+    )
+
+
+def drift_foreach_batch(history_path: str, metric: str = "kl", eps: float = 1e-6):
+    """foreachBatch callback: append closed windows to a history table,
+    then emit drift of each new window vs its predecessor.
+
+    Returns (callback, drift_sink_path) — drift rows land next to the
+    history as parquet. Deterministic across restarts: history appends
+    are idempotent per (window_start, category) because append-mode
+    windows only fire once past the watermark.
+    """
+    drift_path = history_path.rstrip("/") + "_drift"
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df.write.mode("append").parquet(history_path)
+        try:
+            hist = spark.read.parquet(history_path)
+        except Exception:
+            return
+        from reviews_quality_check_spark.operators.drift import (
+            categorical_window_drift,
+        )
+
+        # recompute drift over the full (small) history: windows × cats,
+        # weighting by the pre-aggregated per-window counts
+        probs_input = hist.select(
+            F.col("window_start").cast("timestamp").alias("ts"),
+            "category",
+            "cnt",
+        )
+        drift = categorical_window_drift(
+            probs_input, "ts", "category", "1 hour",
+            metric=metric, eps=eps, count_col="cnt",
+        )
+        drift.write.mode("overwrite").parquet(drift_path)
+
+    return callback, drift_path
+
+
+def start_drift_monitor(
+    stream: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    checkpoint_dir: str,
+    history_path: str,
+    window_expr: str = "1 hour",
+    watermark: str = "1 hour",
+):
+    """Wire the full streaming drift pipeline; returns the StreamingQuery."""
+    hist_stream = windowed_histogram_stream(stream, ts_col, cat_col, window_expr, watermark)
+    callback, _ = drift_foreach_batch(history_path)
+    return (
+        hist_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(callback)
+        .start()
+    )

@@ -1,0 +1,110 @@
+"""Dedup/similarity operator tests: exact groups, keep-first, salted
+uniqueness, MinHash-LSH vs brute-force Jaccard ground truth, SimHash
+properties, tier buckets."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from reviews_quality_check_spark.operators.dedup import (
+    dedup_keep_first,
+    duplicate_metrics,
+    exact_dup_groups,
+    minhash_lsh_candidates,
+    near_dup_pairs,
+    salted_uniqueness_violations,
+    simhash_buckets,
+)
+from reviews_quality_check_spark.oracle import reference as O
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "The quick brown fox jumps over the lazy dog"),      # exact dup of 0 (normalized)
+    (2, "the quick brown fox jumps over the lazy cat"),      # near dup of 0
+    (3, "completely different content about spark engines"),
+    (4, "completely different content about spark engines today"),  # near dup of 3
+    (5, "the  QUICK   brown fox jumps over the lazy dog  "), # exact dup of 0
+    (6, "unrelated text with nothing in common whatsoever"),
+    (7, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dup_groups(df):
+    groups = exact_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["member_ids"] == [0, 1, 5]
+    assert groups[0]["group_size"] == 3
+
+
+def test_dedup_keep_first(df):
+    kept = sorted(r["doc_id"] for r in dedup_keep_first(df).collect())
+    # lowest id of the dup group (0) survives; 1 and 5 dropped
+    assert kept == [0, 2, 3, 4, 6, 7]
+
+
+def test_duplicate_metrics_both_variants(df):
+    m = duplicate_metrics(df).collect()[0]
+    # quirk #7: JSON metric Σ(group-1)=2, PDF metric group count=1
+    assert m["duplicates_found"] == 2
+    assert m["duplicate_groups"] == 1
+
+
+def test_salted_uniqueness(spark):
+    rows = [(f"u{i}",) for i in range(50)] + [("hot",)] * 40 + [("warm",)] * 2
+    df = spark.createDataFrame(rows, "url string")
+    out = {r["key"]: r["cnt"] for r in salted_uniqueness_violations(df, "url").collect()}
+    assert out == {"hot": 40, "warm": 2}
+
+
+def test_lsh_candidates_recall_vs_bruteforce(df):
+    """Every pair with true Jaccard >= 0.7 (and not an exact dup) must be
+    an LSH candidate at 16 hashes / 4 bands (b=4, r=4 → s-curve
+    threshold ~ (1/4)^(1/4) ≈ 0.71)."""
+    cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(df).collect()}
+    texts = dict(DOCS)
+    fps = {i: O.norm_text(t) for i, t in DOCS}
+    for a, b in itertools.combinations(range(len(DOCS)), 2):
+        sim = O.ngram_jaccard(texts[a], texts[b])
+        if sim >= 0.8 and fps[a] != fps[b]:
+            assert (a, b) in cands, f"missed pair ({a},{b}) sim={sim:.3f}"
+
+
+def test_near_dup_pairs_match_oracle(df):
+    got = {(r["id_a"], r["id_b"]): (r["similarity"], r["tier"]) for r in near_dup_pairs(df).collect()}
+    texts = dict(DOCS)
+    for (a, b), (sim, tier) in got.items():
+        want = O.ngram_jaccard(texts[a], texts[b])
+        assert sim == pytest.approx(want, abs=1e-12)
+        assert tier == O.similarity_tier(want)
+    # the engineered near-dups must be found
+    assert (0, 2) in got or (2, 0) in got
+    assert (3, 4) in got
+
+
+def test_tier_buckets_disjoint_descending():
+    # quirk #10: if/elif buckets
+    assert O.similarity_tier(0.95) == "critical"
+    assert O.similarity_tier(0.9) == "critical"
+    assert O.similarity_tier(0.85) == "high"
+    assert O.similarity_tier(0.75) == "moderate"
+    assert O.similarity_tier(0.69) is None
+
+
+def test_simhash_similar_docs_close(df):
+    rows = {r["doc_id"]: r["simhash"] for r in simhash_buckets(df).collect()}
+    assert 7 not in rows  # empty text -> null simhash filtered
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    # near-identical docs differ in few bits; unrelated docs in many
+    assert hamming(rows[0], rows[2]) < hamming(rows[0], rows[6])
+    assert rows[0] == rows[1] == rows[5]  # identical token streams

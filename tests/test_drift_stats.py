@@ -1,0 +1,124 @@
+"""Drift / distribution tests: KL vs oracle (and reference semantics),
+windowed drift behavior, PSI, column stats, histogram."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from reviews_quality_check_spark.operators.column_stats import (
+    column_stats,
+    histogram,
+    numeric_profile,
+)
+from reviews_quality_check_spark.operators.drift import (
+    categorical_window_drift,
+    kl_divergence,
+)
+from reviews_quality_check_spark.oracle import reference as O
+
+
+def _dist_df(spark, d):
+    return spark.createDataFrame(
+        [(k, float(v)) for k, v in d.items()], "category string, probability double"
+    )
+
+
+@pytest.mark.parametrize(
+    "real,synth",
+    [
+        ({"a": 0.5, "b": 0.5}, {"a": 0.4, "b": 0.6}),
+        ({"a": 0.7, "b": 0.2, "c": 0.1}, {"a": 0.6, "b": 0.3, "c": 0.1}),
+        # category present on one side only (align-and-fill-0 outer join)
+        ({"a": 0.5, "b": 0.5}, {"a": 0.9, "c": 0.1}),
+        # unnormalized inputs (reference normalizes internally)
+        ({"a": 5.0, "b": 5.0}, {"a": 4.0, "b": 6.0}),
+    ],
+)
+def test_kl_matches_oracle(spark, real, synth):
+    got = kl_divergence(_dist_df(spark, real), _dist_df(spark, synth)).collect()[0][0]
+    want = O.kl_divergence(real, synth)
+    if math.isinf(want):
+        assert math.isinf(got)
+    else:
+        assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_kl_zero_sum_edge(spark):
+    """reference statistics.py:62-65: either side summing to 0 -> 0.0."""
+    got = kl_divergence(
+        _dist_df(spark, {"a": 0.0, "b": 0.0}), _dist_df(spark, {"a": 1.0})
+    ).collect()[0][0]
+    assert got == 0.0
+
+
+def test_kl_identical_is_zero(spark):
+    d = {"a": 0.3, "b": 0.7}
+    got = kl_divergence(_dist_df(spark, d), _dist_df(spark, d)).collect()[0][0]
+    assert got == pytest.approx(0.0, abs=1e-15)
+
+
+def test_window_drift_detects_shift(spark):
+    # day 1: 90/10, day 2: 90/10 (no drift), day 3: 10/90 (big drift)
+    rows = []
+    for day, (na, nb) in enumerate([(90, 10), (90, 10), (10, 90)]):
+        ts = f"2024-01-0{day + 1} 12:00:00"
+        rows += [(ts, "a")] * na + [(ts, "b")] * nb
+    df = spark.createDataFrame(rows, "ts string, cat string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = categorical_window_drift(df, "ts", "cat", "1 day").collect()
+    assert len(out) == 2  # first window has no predecessor
+    d2, d3 = out[0]["drift"], out[1]["drift"]
+    assert d2 == pytest.approx(0.0, abs=1e-12)
+    want = O.kl_divergence({"a": 0.1, "b": 0.9}, {"a": 0.9, "b": 0.1})
+    assert d3 == pytest.approx(want, rel=1e-9)
+
+
+def test_window_drift_new_category_uses_eps(spark):
+    rows = [("2024-01-01 00:00:00", "a")] * 10 + [("2024-01-02 00:00:00", "b")] * 10
+    df = spark.createDataFrame(rows, "ts string, cat string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = categorical_window_drift(df, "ts", "cat", "1 day").collect()
+    assert len(out) == 1
+    assert math.isfinite(out[0]["drift"]) and out[0]["drift"] > 5  # ln(1/eps)-ish
+
+
+def test_psi_symmetric_positive():
+    p, q = {"a": 0.8, "b": 0.2}, {"a": 0.2, "b": 0.8}
+    assert O.psi(p, q) == pytest.approx(O.psi(q, p), rel=1e-12)
+    assert O.psi(p, q) > 0
+
+
+def test_column_stats(spark):
+    df = spark.createDataFrame(
+        [("en", "x", 1), ("en", None, 2), ("de", "y", None), ("de", "y", 4)],
+        "lang string, s string, v int",
+    )
+    out = {
+        (r["group_key"], r["column_name"]): r
+        for r in column_stats(df, ["s", "v"], group_by="lang", exact_distinct=True).collect()
+    }
+    assert out[("en", "s")]["null_rate"] == 0.5
+    assert out[("en", "s")]["distinct_count"] == 1
+    assert out[("de", "v")]["null_rate"] == 0.5
+    assert out[("de", "s")]["distinct_count"] == 1
+    assert out[("en", "v")]["min_value"] == "1"
+    assert out[("en", "v")]["max_value"] == "2"
+
+
+def test_numeric_profile_quantiles(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    r = numeric_profile(df, "x").collect()[0]
+    assert r["n"] == 100 and r["min_value"] == 1.0 and r["max_value"] == 100.0
+    q25, q50, q75, q95 = r["quantiles"]
+    assert 24 <= q25 <= 26 and 49 <= q50 <= 51 and 74 <= q75 <= 76 and 94 <= q95 <= 96
+
+
+def test_histogram_ratios(spark):
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)] * 1, "cat string")
+    out = {r["cat"]: r["ratio"] for r in histogram(df, "cat").collect()}
+    assert out == {"a": 0.75, "b": 0.25}

@@ -1,0 +1,122 @@
+"""Row-level parity: Spark Column expressions vs the pure-Python oracle.
+
+Covers F1-F13 (SURVEY §2.8): normalization, tokenization, sentences,
+n-gram sets, truncation, syllables/Flesch, quality score, lang-id —
+exact equality on a fixture covering the edge cases the reference's
+semantics hinge on.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from reviews_quality_check_spark.functions.quality import (
+    mean_word_length,
+    predict_lang,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+)
+from reviews_quality_check_spark.functions.readability import flesch_reading_ease
+from reviews_quality_check_spark.functions.text import (
+    norm_text,
+    sentence_count,
+    similarity_ngram_set,
+    tokens,
+    truncate_words,
+    word_count,
+)
+from reviews_quality_check_spark.oracle import reference as O
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog. It is fast!",
+    "This product is good enough but fairly average.",
+    "bad terrible awful product",
+    "Great great great! I love it.",
+    "",
+    "   ",
+    "single",
+    "a.b.c...d!e?f",
+    "Don't count contractions wrongly, isn't it?",
+    "table cable able le e",
+    "Multiple   spaces\tand\nnewlines  collapse",
+    "UPPER lower MiXeD 123 numbers42",
+    "word " * 60,  # long text for truncation
+    "el la de que y los in the and",  # mixed lang markers
+    "punctuation!!! ??? ... ,,, ;;;",
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [(i, t) for i, t in enumerate(TEXTS)]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def collect_map(df, col):
+    return {r["doc_id"]: r["v"] for r in df.select("doc_id", col.alias("v")).collect()}
+
+
+def test_norm_tokens_sentences(df):
+    got_norm = collect_map(df, norm_text("text"))
+    got_tok = collect_map(df, tokens("text"))
+    got_wc = collect_map(df, word_count("text"))
+    got_sc = collect_map(df, sentence_count("text"))
+    for i, t in enumerate(TEXTS):
+        assert got_norm[i] == O.norm_text(t), f"norm {i}"
+        assert got_tok[i] == O.tokenize(t), f"tokens {i}"
+        assert got_wc[i] == len(O.tokenize(t)), f"wc {i}"
+        assert got_sc[i] == len(O.split_sentences(t)), f"sc {i}"
+
+
+def test_similarity_ngram_set(df):
+    got = collect_map(df, similarity_ngram_set("text"))
+    for i, t in enumerate(TEXTS):
+        assert set(got[i]) == O.similarity_ngram_set(t), f"ngset {i}"
+
+
+def test_truncate(df):
+    for n in (10, 25, 100):
+        got = collect_map(df, truncate_words("text", n))
+        for i, t in enumerate(TEXTS):
+            assert got[i] == O.truncate_words(t, n), f"trunc {i} n={n}"
+
+
+def test_flesch_exact(df):
+    got = collect_map(df, flesch_reading_ease("text"))
+    for i, t in enumerate(TEXTS):
+        expected = O.flesch_reading_ease(t)
+        assert got[i] == pytest.approx(expected, abs=0.0), f"flesch {i}: {got[i]} vs {expected}"
+
+
+def test_quality_components(df):
+    for col, fn in [
+        (quality_score("text"), O.quality_score),
+        (punct_ratio("text"), O.punct_ratio),
+        (stopword_ratio(tokens("text")), O.stopword_ratio),
+        (mean_word_length(tokens("text")), O.mean_word_length),
+    ]:
+        got = collect_map(df, col)
+        for i, t in enumerate(TEXTS):
+            expected = fn(t)
+            assert math.isclose(got[i], expected, rel_tol=0, abs_tol=0) or got[i] == expected
+
+
+def test_predict_lang(df):
+    got = collect_map(df, predict_lang("text"))
+    for i, t in enumerate(TEXTS):
+        assert got[i] == O.predict_lang(t), f"lang {i}"
+
+
+def test_syllables_reference_cases():
+    # hand-computed against the reference algorithm
+    # (utils/text_processing.py:128-149)
+    cases = {
+        "cat": 1, "table": 2, "cable": 2, "able": 2, "le": 1, "e": 1,
+        "queue": 1, "rhythm": 1, "beautiful": 3, "science": 1,
+    }
+    for w, want in cases.items():
+        assert O.count_syllables(w) == want, w
