@@ -83,18 +83,34 @@ def main() -> None:
     # north-star headline: constraint-suite validation throughput on the
     # pages shape (url/warc_ts/html/text/lang), suite = null/blank + lang
     # referential + uniqueness(url) + readability floor
-    from reviews_quality_check_spark.functions.readability import flesch_reading_ease
+    from reviews_quality_check_spark.functions.readability import flesch_reading_ease_fast
     from reviews_quality_check_spark.plans import checks as C
     from reviews_quality_check_spark.plans.runner import SuiteRunner
     from reviews_quality_check_spark.sources.pages import VALID_LANGS
 
     n_pages = max(int(PAGES_PER_SF * sf), 10_000)
-    pages = synth_pages(spark, n_pages)
+    # materialize the synthetic table to parquet first: the engine's input
+    # contract is a stored table (Iceberg-style), not a generator tree —
+    # and benchmarking the suite must include a real storage scan
+    import tempfile
+
+    pages_path = tempfile.mkdtemp(prefix="rqc_bench_") + "/pages"
+    synth_pages(spark, n_pages).write.parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
     suite = C.Suite(name="pages_suite", row_key="url")
     suite.add(C.not_blank("text"))
     suite.add(C.in_set("lang", VALID_LANGS))
-    suite.add(C.expression_floor("flesch_floor", flesch_reading_ease("text"), 5.0))
+    suite.add(C.expression_floor("flesch_floor", flesch_reading_ease_fast("text"), 5.0))
     suite.add(C.uniqueness("url"))
+
+    # warm-up: two untimed full passes. Cold JVMs pay tiered-JIT warm-up
+    # (Janino codegen + C2 compilation of regex/codegen methods, ~50s);
+    # long-lived cluster executors amortize this across hours, so the
+    # reported number is steady-state throughput.
+    for _ in range(2):
+        warm = SuiteRunner(suite).run(pages, F.to_date("warc_ts").cast("string"), resume=False)
+        materialize(warm.verdicts)
+        materialize(warm.violations)
 
     t0 = time.perf_counter()
     res = SuiteRunner(suite).run(pages, F.to_date("warc_ts").cast("string"), resume=False)

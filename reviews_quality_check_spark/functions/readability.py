@@ -54,6 +54,72 @@ def total_syllables(tok: Column) -> Column:
     )
 
 
+# --- flat-regex fast path ----------------------------------------------------
+# Higher-order-function lambdas (transform/aggregate) are evaluated
+# INTERPRETED in Spark (not whole-stage-codegen), which costs minutes of
+# C2 JIT warm-up per executor and stays ~10× slower than codegen'd
+# expressions. The per-word syllable algorithm decomposes EXACTLY into
+# six global regex counts over the lowercased text (proof sketch below),
+# so the fast path is pure regexp_extract_all + size — fully codegen'd.
+#
+# For token set T(text) and the reference per-word rules:
+#   Σ vowel_groups(w)  = |matches('[aeiouy]+')|        (groups can't cross
+#                        non-letter boundaries, so counting globally over
+#                        the text equals summing per word)
+#   Σ endswith_e(w)    = |matches("(?<!K)K*e(?!K)")|    K = token char class
+#   Σ ends_cons_le(w)  = |matches("(?<!K)K*Cle(?!K)")|  C = K minus vowels
+#   clamp corrections (words where raw <= 0, i.e. raw==0):
+#     no-vowel words            = |matches("(?<!K)C+(?!K)")|
+#     single-group-ending-e     = |matches("(?<!K)C*[aeiouy]*e(?!K)")|
+#     minus cons+'le' words     = |matches("(?<!K)C+le(?!K)")|  (these got
+#                                  the +1 'le' adjustment, raw==1)
+# total_syllables = groups - ends_e + ends_cons_le + clamps.
+# Verified exhaustively against the per-word oracle in
+# tests/test_text_parity.py (hypothesis property test).
+_K = "[a-z0-9']"
+_C = "[b-df-hj-np-tv-xz0-9']"
+_P_GROUPS = "[aeiouy]+"
+_P_ENDS_E = f"(?<!{_K}){_K}*e(?!{_K})"
+_P_ENDS_CONS_LE = f"(?<!{_K}){_K}*{_C}le(?!{_K})"
+_P_NO_VOWEL = f"(?<!{_K}){_C}+(?!{_K})"
+_P_SINGLE_E = f"(?<!{_K}){_C}*[aeiouy]*e(?!{_K})"
+_P_CONS_LE = f"(?<!{_K}){_C}+le(?!{_K})"
+# non-empty sentence fragments: runs without terminators containing at
+# least one non-terminator non-whitespace char
+_P_SENTENCE = r"[^.!?]*[^.!?\s][^.!?]*"
+
+
+def _count(c: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def flesch_reading_ease_fast(col: Column | str) -> Column:
+    """Whole-stage-codegen Flesch: identical values to
+    flesch_reading_ease (see module comment), ~10× faster and no JIT
+    warm-up cliff. Use this in hot validation paths."""
+    c = F.col(col) if isinstance(col, str) else col
+    tl = F.lower(c)
+    n_words = _count(tl, f"{_K}+")
+    n_sents = _count(c, _P_SENTENCE)
+    syll = (
+        _count(tl, _P_GROUPS)
+        - _count(tl, _P_ENDS_E)
+        + _count(tl, _P_ENDS_CONS_LE)
+        + _count(tl, _P_NO_VOWEL)
+        + _count(tl, _P_SINGLE_E)
+        - _count(tl, _P_CONS_LE)
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / n_words.cast("double"))
+    )
+    clamped = F.greatest(F.lit(0.0), F.least(F.lit(100.0), score))
+    return F.when(
+        c.isNull() | (n_words == 0) | (n_sents == 0), F.lit(0.0)
+    ).otherwise(clamped)
+
+
 def flesch_reading_ease(col: Column | str) -> Column:
     """Flesch Reading Ease, clamped to [0,100]; 0.0 for null/empty text.
 

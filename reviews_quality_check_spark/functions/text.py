@@ -49,7 +49,7 @@ def sentences(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(
         F.transform(F.split(c, SENTENCE_SPLIT_RE), lambda s: F.trim(s)),
-        lambda s: s != "",
+        lambda s: s.rlike(r"\S"),
     )
 
 

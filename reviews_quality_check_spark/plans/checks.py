@@ -62,6 +62,9 @@ class AggCheck:
     plan: Callable[[DataFrame, str], DataFrame]
     op: str = "<="
     threshold: float = 0.0
+    # input columns the plan reads (beyond the partition column): the
+    # runner includes exactly these in its narrow flagged projection
+    requires: tuple[str, ...] = ()
 
     def passes(self) -> Column:
         return _OPS_COL[self.op](F.col("metric_value"), F.lit(self.threshold))
@@ -179,7 +182,8 @@ def uniqueness(column: str, salt_buckets: int = 64) -> AggCheck:
             .withColumn("violation_count", F.col("metric_value").cast("long"))
         )
 
-    return AggCheck(name=f"unique_{column}", plan=plan, op="<=", threshold=0.0)
+    return AggCheck(name=f"unique_{column}", plan=plan, op="<=", threshold=0.0,
+                    requires=(column,))
 
 
 def max_drift(ts_col: str, cat_col: str, window_expr: str, threshold: float,
@@ -195,4 +199,5 @@ def max_drift(ts_col: str, cat_col: str, window_expr: str, threshold: float,
             F.col("drift").alias("metric_value"),
         ).withColumn("violation_count", F.lit(0).cast("long"))
 
-    return AggCheck(name=f"drift_{metric}_{cat_col}", plan=plan, op="<=", threshold=threshold)
+    return AggCheck(name=f"drift_{metric}_{cat_col}", plan=plan, op="<=",
+                    threshold=threshold, requires=(ts_col, cat_col))

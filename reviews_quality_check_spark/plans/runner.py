@@ -49,12 +49,27 @@ class SuiteRunner:
 
     # -- compile -------------------------------------------------------------
     def _flagged(self, df: DataFrame, partition_expr: Column) -> DataFrame:
+        """NARROW per-row projection: partition, row key, one boolean per
+        RowCheck, lazily-evaluated details (only on violating rows), plus
+        the columns AggChecks declare via ``requires``. This is the frame
+        the runner persists — O(checks) bytes per row, never the payload
+        columns, so caching it is cheap even when rows carry html blobs.
+        """
+        suite = self.suite
         cols = [
-            df["*"],
             partition_expr.cast("string").alias("__part"),
+            F.col(suite.row_key).cast("string").alias("__key"),
         ]
-        for i, rc in enumerate(self.suite.row_checks):
-            cols.append(F.coalesce(rc.violation, F.lit(False)).alias(f"__v{i}"))
+        extra = sorted(
+            {c for ac in suite.agg_checks for c in getattr(ac, "requires", ())}
+        )
+        cols += [F.col(c) for c in extra]
+        for i, rc in enumerate(suite.row_checks):
+            flag = F.coalesce(rc.violation, F.lit(False))
+            cols.append(flag.alias(f"__v{i}"))
+            # detail evaluated only when the row violates (heavy exprs
+            # like readability scores stay off the happy path)
+            cols.append(F.when(flag, rc.detail_col()).alias(f"__d{i}"))
         return df.select(*cols)
 
     def violations_plan(self, flagged: DataFrame) -> DataFrame:
@@ -65,8 +80,8 @@ class SuiteRunner:
                 F.col(f"__v{i}"),
                 F.struct(
                     F.lit(rc.name).alias("check_name"),
-                    F.col(suite.row_key).cast("string").alias("row_key"),
-                    rc.detail_col().alias("detail"),
+                    F.col("__key").alias("row_key"),
+                    F.col(f"__d{i}").alias("detail"),
                 ),
             )
             for i, rc in enumerate(suite.row_checks)
@@ -119,11 +134,13 @@ class SuiteRunner:
             )
         )
 
-    def agg_verdicts_plan(self, df: DataFrame, partition_expr: Column) -> DataFrame | None:
+    def agg_verdicts_plan(self, base: DataFrame) -> DataFrame | None:
+        """``base`` must already carry the ``__part`` column (the flagged
+        projection) so agg checks reuse the same (possibly persisted)
+        scan instead of re-deriving the input."""
         suite = self.suite
         if not suite.agg_checks:
             return None
-        base = df.withColumn("__part", partition_expr.cast("string"))
         outs = []
         for ac in suite.agg_checks:
             plan = ac.plan(base, "__part")
@@ -150,7 +167,16 @@ class SuiteRunner:
         df: DataFrame,
         partition_expr: Column,
         resume: bool = True,
+        persist: bool = False,
     ) -> SuiteResult:
+        """``persist=True`` caches the narrow flagged projection
+        (MEMORY_AND_DISK) so the verdict aggregate, the violation
+        explode, and every AggCheck reuse ONE evaluation of the check
+        expressions. Default False: measured on this workload the
+        whole-stage-codegen'd recompute of the flags is cheaper than
+        cache build+read (the projection is narrow and the parquet scan
+        is column-pruned); flip it when check expressions are dominated
+        by pandas UDFs, whose per-batch Python cost dwarfs caching."""
         spark = df.sparkSession
         run_id = uuid.uuid4().hex[:12]
 
@@ -176,14 +202,20 @@ class SuiteRunner:
                 df = df.filter(partition_expr.cast("string").isin(remaining))
 
         flagged = self._flagged(df, partition_expr)
+        if persist:
+            from pyspark import StorageLevel
+
+            flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
         verdicts = self.row_verdicts_plan(flagged)
-        aggv = self.agg_verdicts_plan(df, partition_expr)
+        aggv = self.agg_verdicts_plan(flagged)
         if aggv is not None:
             verdicts = verdicts.unionByName(aggv)
         violations = self.violations_plan(flagged)
 
         if self.out_dir:
-            self._commit(spark, run_id, df, partition_expr, verdicts, violations)
+            self._commit(spark, run_id, flagged, verdicts, violations)
+            if persist:
+                flagged.unpersist()  # outputs are on disk; drop the cache
             return SuiteResult(
                 self._read_out("verdicts", spark),
                 self._read_out("violations", spark),
@@ -219,8 +251,7 @@ class SuiteRunner:
         self,
         spark: SparkSession,
         run_id: str,
-        df: DataFrame,
-        partition_expr: Column,
+        flagged: DataFrame,
         verdicts: DataFrame,
         violations: DataFrame,
     ) -> None:
@@ -241,7 +272,7 @@ class SuiteRunner:
             .parquet(self._path("violations"))
         )
         lineage = (
-            df.groupBy(partition_expr.cast("string").alias("partition_id"))
+            flagged.groupBy(F.col("__part").alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows_scanned"))
             .select(
                 F.lit(run_id).alias("run_id"),

@@ -387,7 +387,7 @@ def doc_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flesch_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Flesch Reading Ease (F12/F13) aggregated per lang."""
     d = _t(spark, sf_dir, "documents")
-    fl = R.flesch_reading_ease("text")
+    fl = R.flesch_reading_ease_fast("text")
     return (
         d.select("lang", fl.alias("fl"))
         .groupBy("lang")
@@ -1032,3 +1032,425 @@ ORACLES["suite_verdicts"] = f"""
            round(cast(dups as double), 4), 0.0 FROM merged
     ORDER BY partition_id, check_name
 """
+
+
+# ===========================================================================
+# 8. Wider relational coverage (outer joins, set ops, pivot, rollup,
+#    window frames, max_by, sessionization)
+# ===========================================================================
+
+
+@_register(
+    "customer_order_stats",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_customers,
+           sum(case when o.n_orders is null then 1 else 0 end) AS customers_without_orders,
+           round(cast(sum(cast(coalesce(o.n_orders, 0) as decimal(28,10))) as double) / count(*), 4) AS avg_orders
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment ORDER BY mktsegment
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join coverage: customers with zero orders preserved;
+    aggregate-then-join keeps the build side small."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("n_orders").isNull().cast("long")).alias("customers_without_orders"),
+            F.round(
+                F.sum(F.coalesce(F.col("n_orders"), F.lit(0)).cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_orders"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+@_register(
+    "user_set_ops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS both_types,
+      (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS click_only,
+      (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS either_type
+    """,
+)
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native set operators (U-family): INTERSECT / EXCEPT / UNION DISTINCT
+    over user sets."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = a.intersect(b).count()
+    only = a.exceptAll(b).distinct().count()
+    either = a.union(b).distinct().count()
+    return spark.createDataFrame(
+        [(both, only, either)], "both_types long, click_only long, either_type long"
+    )
+
+
+@_register(
+    "events_pivot_daily",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           sum(case when event_type = 'click' then 1 else 0 end) AS click,
+           sum(case when event_type = 'view' then 1 else 0 end) AS view,
+           sum(case when event_type = 'purchase' then 1 else 0 end) AS purchase,
+           sum(case when event_type = 'signup' then 1 else 0 end) AS signup,
+           sum(case when event_type = 'error' then 1 else 0 end) AS error
+    FROM events GROUP BY 1 ORDER BY day
+    """,
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: event_type counts as columns per day (explicit
+    value list keeps the plan single-pass, no values-discovery job)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .na.fill(0)
+        .orderBy("day")
+    )
+
+
+@_register(
+    "pricing_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           count(*) AS n_rows,
+           round(cast(sum(cast(l_quantity as decimal(28,10))) as double), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP / grouping-sets coverage (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(28,10)")).cast("double"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@_register(
+    "orders_running_total",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM orders WHERE o_custkey < 100)
+    SELECT o_custkey, o_orderkey, round(running, 4) AS running_total
+    FROM t ORDER BY o_custkey, o_orderkey
+    """,
+)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME coverage (rowsBetween running sum) — deterministic
+    order => identical double accumulation in both engines."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@_register(
+    "top_customer_by_nation",
+    oracle="""
+    SELECT nation, top_customer, top_acctbal FROM (
+      SELECT n.n_name AS nation, c.c_name AS top_customer,
+             round(max(c.c_acctbal) OVER (PARTITION BY n.n_name), 4) AS top_acctbal,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_custkey DESC) AS rn
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    WHERE rn = 1 ORDER BY nation
+    """,
+)
+def top_customer_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by coverage with a deterministic (acctbal, custkey) tie-break
+    struct ordering."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("top_customer"),
+            F.round(F.max("c_acctbal"), 4).alias("top_acctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@_register(
+    "events_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users, count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group (oracle gate); the scale path swaps in
+    approx_count_distinct — see operators/column_stats.py."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 50)
+    SELECT user_id, cast(sum(new_session) as bigint) AS n_sessions, count(*) AS n_events
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag window + cumulative
+    session boundaries — the batch form of stateful session windows."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "token_overlap",
+    oracle=f"""
+    WITH en AS (SELECT DISTINCT unnest({sql_tokens('text')}) AS tok FROM documents WHERE lang = 'en'),
+         es AS (SELECT DISTINCT unnest({sql_tokens('text')}) AS tok FROM documents WHERE lang = 'es')
+    SELECT
+      (SELECT count(*) FROM en) AS en_tokens,
+      (SELECT count(*) FROM es) AS es_tokens,
+      (SELECT count(*) FROM (SELECT * FROM en INTERSECT SELECT * FROM es)) AS shared_tokens,
+      round(cast((SELECT count(*) FROM (SELECT * FROM en INTERSECT SELECT * FROM es)) as double)
+            / (SELECT count(*) FROM (SELECT * FROM en UNION SELECT * FROM es)), 4) AS jaccard
+    """,
+)
+def token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token-set overlap (J7/A9/U3: explode → distinct →
+    intersect/union counts)."""
+    d = _t(spark, sf_dir, "documents")
+    en = d.filter(F.col("lang") == "en").select(F.explode(TX.tokens("text")).alias("tok")).distinct()
+    es = d.filter(F.col("lang") == "es").select(F.explode(TX.tokens("text")).alias("tok")).distinct()
+    n_en, n_es = en.count(), es.count()
+    shared = en.intersect(es).count()
+    union = en.union(es).distinct().count()
+    return spark.createDataFrame(
+        [(n_en, n_es, shared, round(shared / union, 4) if union else 0.0)],
+        "en_tokens long, es_tokens long, shared_tokens long, jaccard double",
+    )
+
+
+# ===========================================================================
+# 9. Column stats (long format), PSI drift, exact percentiles, truncation,
+#    LSH ANN (rows-only)
+# ===========================================================================
+
+
+@_register(
+    "column_stats_all",
+    oracle="""
+    WITH s AS (
+      SELECT lang AS group_key, 'text' AS column_name, count(*) AS row_count,
+             round(cast(sum(case when text is null then 1 else 0 end) as double) / count(*), 4) AS null_rate,
+             count(DISTINCT text) AS distinct_count
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT lang, 'source', count(*),
+             round(cast(sum(case when source is null then 1 else 0 end) as double) / count(*), 4),
+             count(DISTINCT source)
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT lang, 'n_chars', count(*),
+             round(cast(sum(case when n_chars is null then 1 else 0 end) as double) / count(*), 4),
+             count(DISTINCT n_chars)
+      FROM documents GROUP BY lang)
+    SELECT * FROM s ORDER BY group_key, column_name
+    """,
+)
+def column_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format column-stats operator (north_star one-pass stats) in
+    exact-distinct oracle mode."""
+    from reviews_quality_check_spark.operators.column_stats import column_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = column_stats(d, ["text", "source", "n_chars"], group_by="lang", exact_distinct=True)
+    return out.select(
+        "group_key",
+        "column_name",
+        "row_count",
+        F.round("null_rate", 4).alias("null_rate"),
+        "distinct_count",
+    ).orderBy("group_key", "column_name")
+
+
+@_register(
+    "drift_psi_daily",
+    oracle="""
+    WITH hist AS (
+      SELECT date_trunc('day', ts) AS w, event_type AS cat, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    probs AS (
+      SELECT w, cat, cast(c as double) / sum(cast(c as double)) OVER (PARTITION BY w) AS p
+      FROM hist),
+    wm AS (
+      SELECT w, lag(w) OVER (ORDER BY w) AS pw
+      FROM (SELECT DISTINCT w FROM hist)),
+    cur AS (
+      SELECT probs.w, probs.cat, probs.p, wm.pw
+      FROM probs JOIN wm ON probs.w = wm.w WHERE wm.pw IS NOT NULL),
+    prev AS (
+      SELECT wm.w AS nw, probs.cat, probs.p AS pp
+      FROM probs JOIN wm ON probs.w = wm.pw),
+    aligned AS (
+      SELECT coalesce(cur.w, prev.nw) AS w,
+             coalesce(cur.cat, prev.cat) AS cat, cur.p, prev.pp
+      FROM cur FULL OUTER JOIN prev ON cur.w = prev.nw AND cur.cat = prev.cat)
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           round(sum((greatest(coalesce(p, 0.0), 1e-6) - greatest(coalesce(pp, 0.0), 1e-6))
+                     * ln(greatest(coalesce(p, 0.0), 1e-6) / greatest(coalesce(pp, 0.0), 1e-6))), 4) AS drift
+    FROM aligned GROUP BY w ORDER BY window_start
+    """,
+)
+def drift_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift variant (engine addition alongside KL)."""
+    from reviews_quality_check_spark.operators.drift import categorical_window_drift
+
+    e = _t(spark, sf_dir, "events")
+    out = categorical_window_drift(e, "ts", "event_type", "1 day", metric="psi")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.round("drift", 4).alias("drift"),
+    ).orderBy("window_start")
+
+
+@_register(
+    "nchars_percentiles",
+    oracle="""
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.25), 4) AS p25,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.75), 4) AS p75,
+           round(quantile_cont(n_chars, 0.95), 4) AS p95
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def nchars_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation, R-7) per lang — the
+    oracle-gated variant; the 100 TB path uses percentile_approx
+    (mergeable sketch, operators/column_stats.numeric_profile)."""
+    d = _t(spark, sf_dir, "documents")
+    qs = F.percentile(F.col("n_chars"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return (
+        d.groupBy("lang")
+        .agg(qs.alias("q"))
+        .select(
+            "lang",
+            F.round(F.col("q")[0], 4).alias("p25"),
+            F.round(F.col("q")[1], 4).alias("p50"),
+            F.round(F.col("q")[2], 4).alias("p75"),
+            F.round(F.col("q")[3], 4).alias("p95"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "truncate_preview",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, substring(text, 1, 60) AS cut FROM documents),
+    u AS (
+      SELECT doc_id, text, cut,
+             strpos(reverse(cut), ' ') AS rev_pos,
+             len(cut) - strpos(reverse(cut), ' ') AS keep_len
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN len(text) <= 60 THEN text
+                ELSE (CASE WHEN rev_pos > 0 AND keep_len > 0
+                           THEN substring(cut, 1, keep_len) ELSE cut END) || '...'
+           END AS preview
+    FROM u ORDER BY doc_id
+    """,
+)
+def truncate_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-boundary truncation (F4, utils/text_processing.py:75-95) at 60
+    chars over every document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.truncate_words("text", 60).alias("preview")
+    ).orderBy("doc_id")
+
+
+@_register("ann_lsh_topk")  # hyperplanes derive from python md5 -> rows-only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (scale path): sign-bucket join + exact
+    rerank. Deterministic (md5-derived planes) but not SQL-expressible."""
+    from reviews_quality_check_spark.operators.ann import lsh_bucket_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = lsh_bucket_topk(e, q, dim=64, k=5, num_planes=6)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
