@@ -1454,3 +1454,56 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
     ).orderBy("query_id", "rank")
+
+
+# ===========================================================================
+# 10. Topic modeling (Spark ML LDA) + full reference pipeline on the
+#     synthetic reviews fixture
+# ===========================================================================
+
+
+@_register("lda_topics")  # distributed LDA: rows-only check (not SQL-expressible)
+def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 terms per topic from seeded distributed LDA over documents
+    (reference gensim pipeline topic.py:219-251 → pyspark.ml LDA)."""
+    from reviews_quality_check_spark.operators.topics import topics_summary
+
+    d = _t(spark, sf_dir, "documents")
+    # synthetic corpus shares a small vocabulary across most docs, so
+    # relax the dictionary-extremes filter (reference topic.py:187-199)
+    # NB CountVectorizer treats minDF/maxDF >= 1.0 as ABSOLUTE doc counts
+    return topics_summary(d, k=4, top_n=4, min_df=1.0, max_df=1e9).orderBy(
+        "topic_id", "rank"
+    )
+
+
+@_register("reviews_pipeline_metrics")
+def reviews_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-file metrics assembly (review_analysis.py:294-340)
+    over the deterministic synthetic reviews fixture: total reviews,
+    both duplicate metrics, mismatch count, avg mismatch confidence,
+    avg Flesch — one metrics row, the process_file contract."""
+    from reviews_quality_check_spark.functions.readability import (
+        flesch_reading_ease_fast,
+    )
+    from reviews_quality_check_spark.functions.sentiment_rules import (
+        validate_sentiments,
+    )
+    from reviews_quality_check_spark.operators.dedup import duplicate_metrics
+    from reviews_quality_check_spark.sources.reviews import synth_reviews
+
+    n = 2000 if "0.01" in sf_dir else 10000
+    r = synth_reviews(spark, n)
+    v = validate_sentiments(r)
+    agg = v.agg(
+        F.count(F.lit(1)).alias("total_reviews"),
+        F.sum(F.col("is_mismatch").cast("long")).alias("sentiment_mismatches"),
+        F.round(
+            F.sum(F.when(F.col("is_mismatch"), F.col("confidence")).cast("decimal(28,10)")).cast("double")
+            / F.sum(F.col("is_mismatch").cast("long")),
+            4,
+        ).alias("avg_mismatch_confidence"),
+        _avg4(flesch_reading_ease_fast("text")).alias("avg_linguistic_quality"),
+    )
+    dups = duplicate_metrics(r, "text", "id")
+    return agg.crossJoin(dups)

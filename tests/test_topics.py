@@ -1,0 +1,63 @@
+"""LDA topic operator: structural checks (distributed Spark ML LDA is
+seeded but not bit-stable across environments, so assertions are on
+shape/invariants, not term identity)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from reviews_quality_check_spark.operators.topics import (
+    doc_topic_entropy,
+    fit_lda,
+    topic_top_terms,
+    topics_summary,
+)
+
+DOCS = [
+    (i, "spark query engine plan optimizer shuffle join " * 3) for i in range(10)
+] + [
+    (i + 10, "recipe cooking flavor kitchen delicious meal dinner " * 3) for i in range(10)
+] + [
+    (i + 20, "football match goal player team season league " * 3) for i in range(10)
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_lda_shapes_and_entropy(docs):
+    model, cv_model, feats = fit_lda(docs, k=3, max_iter=10)
+    topics = topic_top_terms(model, cv_model, top_n=5)
+    assert len(topics) == 3
+    for t in topics:
+        assert len(t["terms"]) == 5
+        assert all(w >= 0 for w in t["weights"])
+        assert t["weights"] == sorted(t["weights"], reverse=True)
+
+    ent = doc_topic_entropy(model, feats).collect()
+    assert len(ent) == 30
+    for r in ent:
+        assert 0.0 <= r["entropy"] <= math.log2(3) + 1e-9
+
+
+def test_topics_summary_table(docs):
+    out = topics_summary(docs, k=3, top_n=4)
+    rows = out.collect()
+    assert len(rows) == 12
+    ranks = {(r["topic_id"], r["rank"]) for r in rows}
+    assert len(ranks) == 12  # (topic, rank) unique
+
+
+def test_min_token_gate(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a b"), (3, "solid text with enough tokens here")],
+        "doc_id long, text string",
+    )
+    from reviews_quality_check_spark.operators.topics import _token_df
+
+    kept = _token_df(df, "text", "doc_id").select("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [3]  # <3 lemmas dropped (topic.py:175)

@@ -1,0 +1,108 @@
+"""Physical-plan inspector: asserts the scale-critical plan properties.
+
+For each checked query: is the filter pushed to the parquet scan, is
+the scan column-pruned (ReadSchema), did small dims go broadcast, and
+how many shuffles (Exchange) does the plan contain. Prints a table and
+exits non-zero if an expectation fails — run after plan-affecting
+changes.
+
+Usage: python tools/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# query -> expectations
+EXPECT: dict[str, dict] = {
+    "pricing_summary": {
+        "pushed_filter": "l_shipdate",          # predicate reaches the scan
+        "read_cols_max": 6,                      # column pruning
+        "max_exchanges": 2,                      # one agg shuffle (+AQE read)
+    },
+    "revenue_by_nation": {
+        "broadcasts": 2,                         # customer + nation dims
+        "read_cols_max": 4,
+    },
+    "orders_referential_violations": {
+        "broadcasts": 1,                         # anti-join build side
+        "plan_contains": "BroadcastHashJoin.*LeftAnti",
+    },
+    "doc_column_stats": {
+        "read_cols_max": 4,
+        "max_exchanges": 3,                      # two-phase distinct agg
+    },
+    "suite_verdicts": {
+        "plan_contains": "HashAggregate",
+    },
+    "top_orders_per_nation": {
+        "broadcasts": 2,
+    },
+    "minhash_lsh_candidates": {
+        "read_cols_max": 2,                      # doc_id + text only
+    },
+}
+
+
+def analyze(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    simple = df._jdf.queryExecution().simpleString()
+    info = {
+        "exchanges": len(re.findall(r"Exchange (?:hash|range|single)", plan)),
+        "broadcasts": len(re.findall(r"BroadcastExchange|BroadcastHashJoin", plan)),
+        "wholestage": len(re.findall(r"\*\(\d+\)", plan)),
+        "pushed": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        "read_schemas": re.findall(r"ReadSchema: struct<([^>]*)>", plan),
+        "plan": plan,
+    }
+    info["bcast_joins"] = len(re.findall(r"BroadcastHashJoin", plan))
+    return info
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from reviews_quality_check_spark.queries import QUERIES
+    from reviews_quality_check_spark.session import get_spark
+
+    spark = get_spark(cores=4, shuffle_partitions=8)
+    failures = []
+    for name, exp in EXPECT.items():
+        df = QUERIES[name](spark, sf_dir)
+        info = analyze(df)
+        problems = []
+        if "pushed_filter" in exp:
+            if not any(exp["pushed_filter"] in p for p in info["pushed"]):
+                problems.append(f"filter on {exp['pushed_filter']} NOT pushed: {info['pushed']}")
+        if "read_cols_max" in exp:
+            widths = [len(s.split(",")) for s in info["read_schemas"] if s]
+            if widths and max(widths) > exp["read_cols_max"]:
+                problems.append(
+                    f"scan reads {max(widths)} cols (max {exp['read_cols_max']}): {info['read_schemas']}"
+                )
+        if "broadcasts" in exp and info["bcast_joins"] < exp["broadcasts"]:
+            problems.append(f"expected >= {exp['broadcasts']} broadcast joins, saw {info['bcast_joins']}")
+        if "max_exchanges" in exp and info["exchanges"] > exp["max_exchanges"]:
+            problems.append(f"{info['exchanges']} exchanges (max {exp['max_exchanges']})")
+        if "plan_contains" in exp and not re.search(exp["plan_contains"], info["plan"], re.S):
+            problems.append(f"plan missing /{exp['plan_contains']}/")
+        status = "OK " if not problems else "FAIL"
+        print(
+            f"[{status}] {name}: exchanges={info['exchanges']} "
+            f"broadcast_joins={info['bcast_joins']} wholestage={info['wholestage']} "
+            f"pushed={info['pushed'][:2]}"
+        )
+        for p in problems:
+            print(f"       - {p}")
+        if problems:
+            failures.append(name)
+    spark.stop()
+    print(f"\n{len(failures)} plan failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
