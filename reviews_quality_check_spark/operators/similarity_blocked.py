@@ -1,0 +1,105 @@
+"""Reference-exact blocked similarity mode (SURVEY §4.1 quirk #1).
+
+The reference computes pairwise similarity ONLY inside 1000-row blocks
+(analyzers/similarity.py:56,264-269: the similarity matrix is built
+block-diagonally), so pairs whose indices fall in different blocks are
+never compared. Reproducing partition-local pass/fail requires this
+exact semantics: block_id = floor(idx / block_size) becomes the join
+key, and the block conveniently doubles as the north_rule's logical
+partition.
+
+Scale shape: an equi-join on block_id with an idx_a < idx_b predicate —
+each block joins only against itself, so the pair space is
+n_blocks × B², shuffled by block (AQE splits stragglers). The
+MinHash-LSH path (operators/dedup.py) is the sub-quadratic default;
+this mode exists for bit-exact reference parity.
+
+Also here: the reference's exact-match word-count gate (quirk #2,
+similarity.py:57,237): only texts with <= 50 words participate in
+EXACT duplicate detection; longer literal duplicates are left to the
+similarity path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reviews_quality_check_spark.functions.text import (
+    md5_fingerprint,
+    similarity_ngram_set_from_words,
+    whitespace_words,
+)
+
+
+def exact_dup_groups_gated(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_words: int = 50,
+) -> DataFrame:
+    """Exact-duplicate groups restricted to texts <= max_words whitespace
+    words — reference similarity.py:57,237 (quirk #2). Longer literal
+    duplicates are deliberately NOT reported here."""
+    gated = df.filter(F.size(whitespace_words(text_col)) <= max_words)
+    return (
+        gated.select(F.col(id_col), md5_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+
+
+def blocked_similar_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_size: int = 1000,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Block-local similar pairs with the reference's n-gram Jaccard and
+    tier buckets — pairs across block boundaries are never compared
+    (quirk #1), and exact duplicates are excluded from the similarity
+    path (similarity.py:161, J2 anti-membership).
+
+    Output: (block_id, id_a, id_b, similarity, tier)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.floor(F.col(id_col) / block_size).alias("block_id"),
+        md5_fingerprint(text_col).alias("fp"),
+        whitespace_words(text_col).alias("__w"),
+    ).select(
+        "id", "block_id", "fp",
+        similarity_ngram_set_from_words(F.col("__w")).alias("ngset"),
+    )
+    a = base.select(
+        F.col("block_id"),
+        F.col("id").alias("id_a"),
+        F.col("fp").alias("fp_a"),
+        F.col("ngset").alias("set_a"),
+    )
+    b = base.select(
+        F.col("block_id"),
+        F.col("id").alias("id_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("ngset").alias("set_b"),
+    )
+    pairs = a.join(b, ["block_id"]).filter(
+        (F.col("id_a") < F.col("id_b")) & (F.col("fp_a") != F.col("fp_b"))
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.array_union(F.col("set_a"), F.col("set_b")))
+    sim = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    tier = (
+        F.when(sim >= 0.9, F.lit("critical"))
+        .when(sim >= 0.8, F.lit("high"))
+        .when(sim >= 0.7, F.lit("moderate"))
+    )
+    return (
+        pairs.withColumn("similarity", sim)
+        .filter(F.col("similarity") >= threshold)
+        .select("block_id", "id_a", "id_b", "similarity", tier.alias("tier"))
+    )

@@ -96,6 +96,23 @@ def doc_topic_entropy(model, feats: DataFrame) -> DataFrame:
     return dist.select("doc_id", ent.alias("entropy"))
 
 
+def topic_coherence_expr(weights: Column) -> Column:
+    """F26 weighted pairwise coherence — reference
+    review_analysis.py:473-483: Σ w_i·w_{i+1} / (k-1); 0.0 when k < 2.
+    Pure higher-order expression over the weights array."""
+    k = F.size(weights)
+    pair_sum = F.aggregate(
+        F.zip_with(
+            F.slice(weights, 1, F.greatest(k - 1, F.lit(1))),
+            F.slice(weights, 2, F.greatest(k - 1, F.lit(1))),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(k < 2, F.lit(0.0)).otherwise(pair_sum / (k - 1).cast("double"))
+
+
 def topics_summary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    k: int = 5, top_n: int = 10, **lda_kwargs) -> DataFrame:
     """One row per (topic, rank): topic_id, rank, term, weight — the

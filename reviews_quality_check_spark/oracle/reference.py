@@ -308,3 +308,29 @@ def validate_sentiment(text: str, labeled: str, domain: str | None) -> dict:
         "domain_sentiment": dsent,
         "has_negation": any(t in NEGATION_WORDS for t in tok),
     }
+
+
+# --- linguistics (F26/F27) ----------------------------------------------------
+def sentences_with_punct(text: str) -> list[str]:
+    out = [s.strip() for s in re.findall(r"[^.!?]+[.!?]*", text)]
+    return [s for s in out if re.search(r"\S", s)]
+
+
+def sentence_flow(text: str) -> float:
+    """F27 adjacency flow — linguistics.py:189-215 over engine-canonical
+    punctuation-preserving sentences."""
+    sents = sentences_with_punct(text)
+    if len(sents) <= 1:
+        return 1.0
+    scores = []
+    for i in range(1, len(sents)):
+        ok = bool(re.search(r"[.!?]$", sents[i - 1])) and bool(re.match(r"[A-Z]", sents[i]))
+        scores.append(1.0 if ok else 0.5)
+    return sum(scores) / len(scores)
+
+
+def topic_coherence(weights: list[float]) -> float:
+    """F26 — review_analysis.py:473-483."""
+    if len(weights) < 2:
+        return 0.0
+    return sum(a * b for a, b in zip(weights[:-1], weights[1:])) / (len(weights) - 1)

@@ -1507,3 +1507,220 @@ def reviews_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dups = duplicate_metrics(r, "text", "id")
     return agg.crossJoin(dups)
+
+
+# ===========================================================================
+# 11. Reference-exact modes (SURVEY §4.1 quirks) + evaluation metrics
+# ===========================================================================
+
+
+@_register(
+    "blocked_similar_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             cast(floor(doc_id / 100) as bigint) AS block_id,
+             md5({sql_norm_text('text')}) AS fp,
+             {_sql_simset('text')} AS ngset
+      FROM documents),
+    pairs AS (
+      SELECT a.block_id, a.id AS id_a, b.id AS id_b,
+             cast(len(list_filter(a.ngset, x -> list_contains(b.ngset, x))) as double)
+             / cast(len(list_distinct(list_concat(a.ngset, b.ngset))) as double) AS sim
+      FROM base a JOIN base b
+        ON a.block_id = b.block_id AND a.id < b.id AND a.fp <> b.fp)
+    SELECT block_id, id_a, id_b, round(sim, 4) AS similarity,
+           case when sim >= 0.9 then 'critical'
+                when sim >= 0.8 then 'high'
+                when sim >= 0.7 then 'moderate' end AS tier
+    FROM pairs WHERE sim >= 0.7
+    ORDER BY block_id, id_a, id_b
+    """,
+)
+def blocked_similar_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact block-local similarity (quirk #1): pairs across
+    block boundaries never compared; block=100 here so sf0.01's 500 docs
+    form 5 blocks."""
+    from reviews_quality_check_spark.operators.similarity_blocked import (
+        blocked_similar_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = blocked_similar_pairs(d, block_size=100, threshold=0.7)
+    return out.select(
+        "block_id", "id_a", "id_b",
+        F.round("similarity", 4).alias("similarity"), "tier",
+    ).orderBy("block_id", "id_a", "id_b")
+
+
+@_register(
+    "exact_dup_groups_gated",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(case when {sql_norm_text('text')} = '' then []
+                     else string_split({sql_norm_text('text')}, ' ') end) <= 50)
+    SELECT md5({sql_norm_text('text')}) AS fingerprint,
+           array_to_string(list_sort(list(doc_id)), ',') AS member_ids,
+           count(*) AS group_size
+    FROM gated GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY fingerprint
+    """,
+)
+def exact_dup_groups_gated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups with the reference's <=50-word gate (quirk #2)."""
+    from reviews_quality_check_spark.operators.similarity_blocked import (
+        exact_dup_groups_gated,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    g = exact_dup_groups_gated(d)
+    return g.select(
+        "fingerprint",
+        F.concat_ws(",", F.transform(F.col("member_ids"), lambda x: x.cast("string"))).alias(
+            "member_ids"
+        ),
+        "group_size",
+    ).orderBy("fingerprint")
+
+
+@_register("sentiment_eval_metrics")
+def sentiment_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy + per-class F1 + macro-F1 of the surrogate-chain
+    prediction vs the pseudo-label (A14, multi_model_sentiment_eval.py:
+    107-108 re-expressed as per-class TP/FP/FN group-bys)."""
+    d = _t(spark, sf_dir, "documents")
+    labeled = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("positive"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+    base = d.select(
+        "doc_id", "text", labeled.alias("labeled"), F.lit("technology").alias("domain")
+    ).withColumns({"__tl": F.lower(F.col("text")), "__tok": TX.tokens("text")})
+    cols = SR.validate_sentiment_columns(
+        F.col("text"), F.col("labeled"), F.col("domain"),
+        text_lower=F.col("__tl"), tok=F.col("__tok"),
+    )
+    v = base.withColumns(cols).select("labeled", "predicted")
+    classes = ["positive", "negative", "neutral"]
+    aggs = [
+        F.round(F.avg((F.col("labeled") == F.col("predicted")).cast("double")), 4).alias("accuracy")
+    ]
+    f1_cols = []
+    for c in classes:
+        tp = F.sum(((F.col("labeled") == c) & (F.col("predicted") == c)).cast("long"))
+        fp = F.sum(((F.col("labeled") != c) & (F.col("predicted") == c)).cast("long"))
+        fn = F.sum(((F.col("labeled") == c) & (F.col("predicted") != c)).cast("long"))
+        f1 = F.when(
+            (2 * tp + fp + fn) > 0,
+            (2.0 * tp.cast("double")) / (2 * tp + fp + fn).cast("double"),
+        ).otherwise(F.lit(0.0))
+        aggs.append(F.round(f1, 4).alias(f"f1_{c}"))
+        f1_cols.append(f"f1_{c}")
+    out = v.agg(*aggs)
+    macro = F.round(
+        sum(F.col(c) for c in f1_cols) / F.lit(float(len(classes))), 4
+    ).alias("macro_f1")
+    return out.select("accuracy", *f1_cols, macro)
+
+
+ORACLES["sentiment_eval_metrics"] = f"""
+    WITH v AS ({_sentiment_sql().replace("round(confidence, 4) AS confidence", "confidence")}),
+    agg AS (
+      SELECT
+        round(avg(case when labeled = predicted then 1.0 else 0.0 end), 4) AS accuracy,
+        round(case when (2*sum(case when labeled='positive' and predicted='positive' then 1 else 0 end)
+                   + sum(case when labeled<>'positive' and predicted='positive' then 1 else 0 end)
+                   + sum(case when labeled='positive' and predicted<>'positive' then 1 else 0 end)) > 0
+              then 2.0*sum(case when labeled='positive' and predicted='positive' then 1 else 0 end)
+                   / (2*sum(case when labeled='positive' and predicted='positive' then 1 else 0 end)
+                      + sum(case when labeled<>'positive' and predicted='positive' then 1 else 0 end)
+                      + sum(case when labeled='positive' and predicted<>'positive' then 1 else 0 end))
+              else 0.0 end, 4) AS f1_positive,
+        round(case when (2*sum(case when labeled='negative' and predicted='negative' then 1 else 0 end)
+                   + sum(case when labeled<>'negative' and predicted='negative' then 1 else 0 end)
+                   + sum(case when labeled='negative' and predicted<>'negative' then 1 else 0 end)) > 0
+              then 2.0*sum(case when labeled='negative' and predicted='negative' then 1 else 0 end)
+                   / (2*sum(case when labeled='negative' and predicted='negative' then 1 else 0 end)
+                      + sum(case when labeled<>'negative' and predicted='negative' then 1 else 0 end)
+                      + sum(case when labeled='negative' and predicted<>'negative' then 1 else 0 end))
+              else 0.0 end, 4) AS f1_negative,
+        round(case when (2*sum(case when labeled='neutral' and predicted='neutral' then 1 else 0 end)
+                   + sum(case when labeled<>'neutral' and predicted='neutral' then 1 else 0 end)
+                   + sum(case when labeled='neutral' and predicted<>'neutral' then 1 else 0 end)) > 0
+              then 2.0*sum(case when labeled='neutral' and predicted='neutral' then 1 else 0 end)
+                   / (2*sum(case when labeled='neutral' and predicted='neutral' then 1 else 0 end)
+                      + sum(case when labeled<>'neutral' and predicted='neutral' then 1 else 0 end)
+                      + sum(case when labeled='neutral' and predicted<>'neutral' then 1 else 0 end))
+              else 0.0 end, 4) AS f1_neutral
+      FROM v)
+    SELECT accuracy, f1_positive, f1_negative, f1_neutral,
+           round((f1_positive + f1_negative + f1_neutral) / 3.0, 4) AS macro_f1
+    FROM agg
+"""
+
+
+@_register("sanitized_preview")  # NFKD not expressible in DuckDB: rows-only
+def sanitized_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched sanitize UDF over documents (the byte-identical
+    normalization chain, utils/text_processing.py:7-55)."""
+    from reviews_quality_check_spark.functions.udfs import sanitized_text
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", sanitized_text("text").alias("sanitized")).orderBy("doc_id")
+
+
+_SQL_SENTS = (
+    "list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),"
+    " s -> trim(s)), s -> regexp_matches(s, '\\S'))"
+)
+
+
+@_register(
+    "sentence_flow_by_source",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, {_SQL_SENTS} AS sents FROM documents),
+    f AS (
+      SELECT source,
+             case when len(sents) <= 1 then 1.0
+                  else list_sum(list_transform(range(2, len(sents) + 1),
+                       i -> case when regexp_matches(sents[i-1], '[.!?]$')
+                                  and regexp_matches(sents[i], '^[A-Z]')
+                             then 1.0 else 0.5 end))
+                       / cast(len(sents) - 1 as double)
+             end AS flow
+      FROM s)
+    SELECT source, {_sql_avg4('flow')} AS avg_flow,
+           round(min(flow), 4) AS min_flow
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def sentence_flow_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F27 sentence-flow heuristic (linguistics.py:189-215) per source."""
+    from reviews_quality_check_spark.operators.linguistics import sentence_flow
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", sentence_flow("text").alias("flow"))
+        .groupBy("source")
+        .agg(_avg4(F.col("flow")).alias("avg_flow"), F.round(F.min("flow"), 4).alias("min_flow"))
+        .orderBy("source")
+    )
+
+
+@_register("scored_sentiments")  # pandas-UDF scorer: rows-only check
+def scored_sentiments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 pattern: Arrow-batched pluggable model scorer (deterministic
+    surrogate here; HF pipeline wiring for clusters) over documents."""
+    from reviews_quality_check_spark.functions.udfs import make_scorer_udf
+
+    d = _t(spark, sf_dir, "documents")
+    scorer = make_scorer_udf("surrogate")
+    return (
+        d.select("doc_id", scorer(F.col("text")).alias("s"))
+        .select("doc_id", F.col("s.label").alias("label"),
+                F.round(F.col("s.confidence"), 4).alias("confidence"))
+        .orderBy("doc_id")
+    )
