@@ -139,6 +139,34 @@ def md5_fingerprint(col: Column | str) -> Column:
     return F.md5(norm_text(col))
 
 
+def winnowing_fingerprints(
+    col: Column | str, k: int = 3, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every k-token shingle, slide a
+    window of ``window`` consecutive shingle hashes, keep each window's
+    minimum, dedupe. Robust local fingerprints for partial-overlap
+    detection, O(tokens) per row, pure expressions.
+
+    Hashes are md5-hex-prefix integers so Spark and the DuckDB oracle
+    produce identical fingerprints. Empty/short texts → empty array.
+    """
+    tok = tokens(col)
+    grams = word_ngrams(tok, k)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.when(n_windows > 0, F.sort_array(F.array_distinct(mins))).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 def truncate_words(col: Column | str, max_length: int = 100, ellipsis: str = "...") -> Column:
     """Word-boundary truncation — reference utils/text_processing.py:75-95.
 

@@ -5,9 +5,12 @@ Scale design (100 TB / 10^12 rows):
     never on the raw text — so shuffle rows stay narrow. For hot keys
     (e.g. empty/boilerplate pages duplicated millions of times) use the
     salted two-phase variant.
-  - MinHash signatures are computed entirely JVM-side with higher-order
-    array expressions (no shuffle, no UDF); LSH banding turns the O(n²)
-    pair space into per-band equi-joins, which AQE can split on skew.
+  - MinHash signatures are computed via explode-then-aggregate (one md5
+    per shingle, permutations as flat min() aggregates — all inside
+    whole-stage codegen; nested array-lambda formulations get their
+    input chains collapsed into the lambda body by Catalyst and
+    re-evaluated per permutation). LSH banding turns the O(n²) pair
+    space into per-band equi-joins, which AQE can split on skew.
   - All hash functions are md5-based so results are engine-independent
     (the DuckDB correctness oracle computes identical signatures).
 
@@ -104,29 +107,64 @@ def salted_uniqueness_violations(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text_col: Column | str, num_hashes: int = 16, shingle_k: int = 3) -> Column:
-    """MinHash signature as an array of hex-string minima.
+# Universal-hash MinHash: hash each shingle ONCE (md5 -> 60-bit int mod
+# P), then permutation i is (a_i*h + b_i) mod P — integer multiply-adds
+# instead of num_hashes md5 calls per shingle (16x less hashing).
+# P is the Mersenne prime 2^31-1 so a_i*h stays inside signed 64-bit;
+# a_i/b_i derive from i by fixed LCG-style formulas both engines can
+# evaluate identically (the DuckDB oracle mirrors the exact arithmetic).
+MINHASH_P = 2_147_483_647
+_A_MUL, _A_ADD = 1_103_515_245, 12_345
+_B_MUL, _B_ADD = 1_000_003, 17
 
-    For permutation i, h_i(doc) = min over shingles s of md5(i || ':' || s).
-    Computed with pure array expressions — zero shuffle, zero Python.
-    Empty shingle sets get a null signature.
-    """
-    sh = shingles(text_col, shingle_k)
-    sig = F.transform(
+
+def shingle_base_hashes(sh: Column) -> Column:
+    """md5-derived base integer per shingle, in [0, P)."""
+    return F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
+    )
+
+
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 16) -> Column:
+    """Signature over pre-computed base hashes: sig[i] = min (a_i*h+b_i) mod P."""
+    p = F.lit(MINHASH_P)
+    return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+            F.transform(
+                hashes,
+                lambda h: (
+                    ((F.lit(_A_MUL) * i + F.lit(_A_ADD)) % p) * h
+                    + (F.lit(_B_MUL) * i + F.lit(_B_ADD)) % p
+                )
+                % p,
+            )
         ),
     )
+
+
+def minhash_signature(text_col: Column | str, num_hashes: int = 16, shingle_k: int = 3) -> Column:
+    """MinHash signature as an array<long>; null for empty shingle sets.
+    Pure array expressions — zero shuffle, zero Python."""
+    sh = shingles(text_col, shingle_k)
+    sig = minhash_signature_from_hashes(shingle_base_hashes(sh), num_hashes)
     return F.when(F.size(sh) > 0, sig)
 
 
 def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """Band keys: md5 of the concatenated signature slice per band."""
+    """Band keys: md5 of the '|'-joined signature slice per band."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda j: F.md5(
-            F.concat_ws("|", F.slice(sig, j * rows_per_band + 1, rows_per_band))
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice(sig, j * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            )
         ),
     )
 
@@ -146,28 +184,49 @@ def minhash_lsh_candidates(
     the pair blow-up is bounded by bucket sizes, not n².
     """
     rows_per_band = num_hashes // bands
-    # Project step-by-step so each intermediate (tokens → shingles → sig)
-    # is computed ONCE per row as a column reference; inlining the whole
-    # tree into the transform() lambdas makes codegen re-evaluate the
-    # token/shingle subtree per hash permutation (~16× the work).
+    # EXPLODE-THEN-AGGREGATE, not nested array lambdas: chained column
+    # projections get collapsed by Catalyst into the HOF lambda bodies,
+    # so a transform(sequence(0,15), ...) over an inlined shingle chain
+    # re-tokenizes and re-hashes the text once PER PERMUTATION (and the
+    # banding lambda multiplies that again — measured 64x blow-up).
+    # Exploding shingles to rows makes every permutation a flat
+    # min() aggregate expression: whole-stage codegen, map-side partial
+    # aggregation, one narrow shuffle keyed by doc id.
+    p = F.lit(MINHASH_P)
     sh = F.array_distinct(word_ngrams(F.col("__tok"), shingle_k))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
-        ),
-    )
-    banded = (
+    hashed = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
-        .select("id", sh.alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        .select("id", sig.alias("sig"))
-        .select("id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band"))
+        .select("id", F.explode(sh).alias("__s"))
+        .select(
+            "id",
+            (F.conv(F.substring(F.md5(F.col("__s")), 1, 15), 16, 10).cast("long") % p).alias("__h"),
+        )
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    mins = [
+        F.min(
+            (
+                ((F.lit(_A_MUL * i + _A_ADD) % p) * F.col("__h")
+                 + F.lit((_B_MUL * i + _B_ADD) % MINHASH_P))
+                % p
+            )
+        ).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    sig_df = hashed.groupBy("id").agg(*mins).select(
+        "id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+    banded = sig_df.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band")
+    )
+    # Rename per side BEFORE the join: a self-join on same-lineage
+    # attributes can resolve both sides of `a.band == b.band` to the SAME
+    # attribute, silently degrading the equi-join to a filtered cartesian
+    # product (measured: 44s instead of 2s on 20k banded rows).
+    a = banded.select(F.col("id").alias("id_a"), F.col("band").alias("band_a"))
+    b = banded.select(F.col("id").alias("id_b"), F.col("band").alias("band_b"))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(b, (F.col("band_a") == F.col("band_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -202,14 +261,17 @@ def near_dup_pairs(
     )
     joined = (
         cands.join(fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"),
-                             F.col("ngset").alias("set_a")), "id_a")
+                             F.col("ngset").alias("set_a"),
+                             F.size("ngset").alias("n_a")), "id_a")
         .join(fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"),
-                        F.col("ngset").alias("set_b")), "id_b")
+                        F.col("ngset").alias("set_b"),
+                        F.size("ngset").alias("n_b")), "id_b")
         .filter(F.col("fp_a") != F.col("fp_b"))
     )
     set_a, set_b = F.col("set_a"), F.col("set_b")
+    # sets are distinct: |A∪B| = |A|+|B|-|A∩B| (one array op per pair)
     inter = F.size(F.array_intersect(set_a, set_b))
-    union = F.size(F.array_union(set_a, set_b))
+    union = F.col("n_a") + F.col("n_b") - inter
     sim = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
     tier = (
         F.when(sim >= 0.9, F.lit("critical"))
@@ -228,38 +290,45 @@ def near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text_col: str) -> Column:
-    """64-bit SimHash over tokens: bit b of the hash is 1 iff the sum of
-    (+1/-1) votes from each token's xxhash64 bit b is positive.
+def simhash_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash via explode-then-aggregate (same Catalyst-collapse
+    rationale as MinHash: nested bit-loop lambdas would re-tokenize 64x).
 
-    Pure array expressions (SQL text because shiftleft's Python wrapper
-    only takes literal bit counts); deterministic within Spark (xxhash64
-    seed 42). Not oracle-matched in DuckDB (different hash) — rows-only.
+    Explode tokens -> xxhash64 per token (one JVM hash) -> 64 flat
+    SUM(IF(bit set, 1, -1)) aggregate expressions -> assemble the final
+    hash with shiftleft/bitwise-OR over the 64 aggregated votes.
+    Deterministic within Spark (xxhash64 seed 42); not oracle-matched in
+    DuckDB (different hash function) — rows-only check.
     """
-    sql = f"""
-    CASE WHEN size(regexp_extract_all(lower({text_col}), "[a-z0-9']+", 0)) > 0 THEN
-      aggregate(
-        zip_with(
-          transform(sequence(0, 63), b ->
-            aggregate(
-              transform(regexp_extract_all(lower({text_col}), "[a-z0-9']+", 0), t -> xxhash64(t)),
-              0,
-              (acc, h) -> acc + IF(shiftright(h, b) & 1L = 1L, 1, -1))),
-          sequence(0, 63),
-          (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
-        0L, (acc, x) -> acc | x)
-    END
-    """
-    return F.expr(sql)
+    hashed = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("__t"))
+        .select("id", F.xxhash64(F.col("__t")).alias("__h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1).cast("long")) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(64)
+    ]
+    agg = hashed.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        # bit 63 is the sign bit: 1<<63 overflows a Java long literal
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"__v{b}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("id", sim.alias("simhash"))
 
 
 def simhash_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     prefix_bits: int = 16) -> DataFrame:
     """Bucket docs by the top ``prefix_bits`` of their SimHash — the
-    banding step of SimHash dedup (candidates share a bucket)."""
-    sh = simhash64(text_col)
+    banding step of SimHash dedup (candidates share a bucket).
+    Rows with no tokens produce no output (no hash to bucket)."""
+    sh = simhash_rows(df, text_col, id_col)
     return (
-        df.select(F.col(id_col), sh.alias("simhash"))
-        .filter(F.col("simhash").isNotNull())
+        sh.withColumnRenamed("id", id_col)
         .withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
     )

@@ -75,23 +75,33 @@ def blocked_similar_pairs(
         "id", "block_id", "fp",
         similarity_ngram_set_from_words(F.col("__w")).alias("ngset"),
     )
+    # Repartition by block BEFORE the self-join: (a) co-locates each
+    # block's rows so the pair join is partition-local (the X3 strategy —
+    # block id is the unit of work at scale), and (b) the exchange is a
+    # materialization barrier, so the expensive per-doc ngram set is
+    # computed once per ROW map-side instead of being collapsed into the
+    # join output and recomputed once per PAIR (measured ~17x difference).
+    base = base.repartition(F.col("block_id"))
     a = base.select(
         F.col("block_id"),
         F.col("id").alias("id_a"),
         F.col("fp").alias("fp_a"),
         F.col("ngset").alias("set_a"),
+        F.size("ngset").alias("n_a"),
     )
     b = base.select(
         F.col("block_id"),
         F.col("id").alias("id_b"),
         F.col("fp").alias("fp_b"),
         F.col("ngset").alias("set_b"),
+        F.size("ngset").alias("n_b"),
     )
     pairs = a.join(b, ["block_id"]).filter(
         (F.col("id_a") < F.col("id_b")) & (F.col("fp_a") != F.col("fp_b"))
     )
+    # sets are distinct, so |A∪B| = |A|+|B|-|A∩B|: one array op per pair
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    union = F.size(F.array_union(F.col("set_a"), F.col("set_b")))
+    union = F.col("n_a") + F.col("n_b") - inter
     sim = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
     tier = (
         F.when(sim >= 0.9, F.lit("critical"))

@@ -612,11 +612,19 @@ def duplicate_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_sig(tok: str, num_hashes: int, k: int = 3) -> str:
-    """DuckDB minhash signature over k-shingles of the token array."""
+    """DuckDB minhash signature: md5-derived base int per shingle, then
+    universal-hash permutations — EXACTLY the arithmetic in
+    operators/dedup.py (P=2^31-1, LCG-derived a_i/b_i)."""
+    from reviews_quality_check_spark.operators.dedup import (
+        MINHASH_P, _A_MUL, _A_ADD, _B_MUL, _B_ADD,
+    )
     sh = f"list_distinct(list_transform(range(1, len({tok}) - {k - 2}), i -> {tok}[i] || ' ' || {tok}[i+1] || ' ' || {tok}[i+2]))"
+    base = f"list_transform({sh}, s -> ('0x' || substring(md5(s), 1, 15))::bigint % {MINHASH_P})"
+    perm = (f"((({_A_MUL}*i + {_A_ADD}) % {MINHASH_P}) * h"
+            f" + ({_B_MUL}*i + {_B_ADD}) % {MINHASH_P}) % {MINHASH_P}")
     return (
         f"list_transform(range(0, {num_hashes}), i -> "
-        f"list_aggregate(list_transform({sh}, s -> md5(i::varchar || ':' || s)), 'min'))"
+        f"list_aggregate(list_transform({base}, h -> {perm}), 'min'))"
     )
 
 
@@ -1724,3 +1732,78 @@ def scored_sentiments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("s.confidence"), 4).alias("confidence"))
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "embedding_near_dups",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                         i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double)),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(a.embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(b.embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y)))
+             AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
+    FROM pairs WHERE cos_sim >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9), exact
+    brute-force baseline (oracle-matched). The 10^12-scale path is the
+    LSH-bucketed variant (operators/ann.lsh_bucket_topk) — candidate
+    buckets first, exact cosine rerank inside buckets."""
+    from reviews_quality_check_spark.operators.ann import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= 0.9)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@_register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS tok FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, len(tok) - 1),
+                                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS grams
+          FROM t),
+    h AS (SELECT doc_id,
+                 list_transform(grams, x -> ('0x' || substring(md5(x), 1, 15))::bigint) AS hs
+          FROM g),
+    w AS (SELECT doc_id,
+                 case when len(hs) - 3 > 0 then
+                   list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
+                     i -> list_aggregate(hs[i:i+3], 'min'))))
+                 else [] end AS fps
+          FROM h)
+    SELECT doc_id,
+           len(fps) AS n_fingerprints,
+           array_to_string(fps[1:5], ',') AS first_fps
+    FROM w ORDER BY doc_id
+    """,
+)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints per document: count +
+    first 5, engine-independent (md5-derived hashes)."""
+    from reviews_quality_check_spark.functions.text import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints("text", k=3, window=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.concat_ws(",", F.transform(F.slice(fps, 1, 5), lambda x: x.cast("string"))).alias(
+            "first_fps"
+        ),
+    ).orderBy("doc_id")

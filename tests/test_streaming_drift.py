@@ -1,0 +1,54 @@
+"""Structured Streaming drift monitor: end-to-end with a file-source
+stream — windows close past the watermark, history accumulates, drift
+matches the batch KL (0 for identical windows, large for a flip)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reviews_quality_check_spark.oracle import reference as O
+from reviews_quality_check_spark.streaming.drift_stream import start_drift_monitor
+
+
+def test_streaming_drift_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    hist = str(tmp_path / "hist")
+
+    rows = []
+    for h, (na, nb) in enumerate([(90, 10), (90, 10), (10, 90)]):
+        ts = f"2024-01-01 0{h}:30:00"
+        rows += [(ts, "a")] * na + [(ts, "b")] * nb
+    df = spark.createDataFrame(rows, "ts string, cat string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("cat", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_drift_monitor(stream, "ts", "cat", ckpt, hist, "1 hour", "1 hour")
+    try:
+        q.processAllAvailable()
+        # advance the watermark so the first three windows close
+        late = spark.createDataFrame(
+            [("2024-01-01 09:00:00", "a")], "ts string, cat string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        late.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    hist_rows = spark.read.parquet(hist).collect()
+    assert len(hist_rows) == 6  # 3 windows x 2 categories
+
+    drift = {
+        str(r["window_start"]): r["drift"]
+        for r in spark.read.parquet(hist + "_drift").collect()
+    }
+    assert drift["2024-01-01 01:00:00"] == pytest.approx(0.0, abs=1e-9)
+    want = O.kl_divergence({"a": 0.1, "b": 0.9}, {"a": 0.9, "b": 0.1})
+    assert drift["2024-01-01 02:00:00"] == pytest.approx(want, rel=1e-6)
