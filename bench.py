@@ -44,8 +44,20 @@ BENCH_QUERIES = [
     "near_dup_pairs",
     "simhash_buckets",
     "ann_brute_topk",
+    "ann_lsh_topk",
     "sentiment_validation",
+    "sentiment_eval_metrics",
     "sample_strata_counts",
+    "blocked_similar_pairs",
+    "winnowing_fingerprints",
+    "embedding_near_dups",
+    "column_stats_all",
+    "sentence_flow_by_source",
+    "events_sessionize",
+    "customer_order_stats",
+    "pricing_rollup",
+    "drift_psi_daily",
+    "sanitized_preview",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

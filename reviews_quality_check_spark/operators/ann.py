@@ -94,6 +94,70 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return [v / n for v in vals]
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: seeded KMeans partitions the corpus into
+    ``n_cells`` Voronoi cells; each query searches only its ``n_probe``
+    nearest cells, with exact cosine rerank inside.
+
+    The coarse quantizer trains on the corpus (distributed KMeans); cell
+    centroids broadcast as literals, so assignment is a pure expression.
+    Recall < 1 by construction — raise n_probe to trade compute for
+    recall. Scale: corpus scan is one pass; the probe join fans each
+    query out to n_probe cells only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+
+    def dist2(vec: Column, center: list[float]) -> Column:
+        carr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def cell_ranks(vec: Column) -> Column:
+        """array of cell ids ordered by ascending distance."""
+        pairs = F.array(
+            *[
+                F.struct(dist2(vec, c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.transform(F.array_sort(pairs), lambda s: s.getField("cell"))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(cell_ranks(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.slice(cell_ranks(F.col(vec_col)), 1, n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1807,3 +1807,17 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_fps"
         ),
     ).orderBy("doc_id")
+
+
+@_register("ann_ivf_topk")  # KMeans centroids: rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse KMeans quantizer + n_probe cell search + exact
+    cosine rerank) — the inverted-file scale path for similarity search."""
+    from reviews_quality_check_spark.operators.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = ivf_topk(e, q, k=5, n_cells=8, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")

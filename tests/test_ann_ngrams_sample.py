@@ -155,3 +155,25 @@ def test_frame_sample_plan(spark):
     frames = frame_sample_plan(df, every_ms=1000).collect()
     got = sorted((r["media_id"], r["frame_ts_ms"]) for r in frames)
     assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000)]
+
+
+def test_ivf_topk_recall_vs_bruteforce(emb, spark):
+    """IVF with n_probe=all cells must equal brute force; with fewer
+    probes it returns a subset with rank-consistent ordering."""
+    from reviews_quality_check_spark.operators.ann import brute_force_topk, ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, q, k=3, n_cells=4, n_probe=4).collect()
+    }
+    assert full_probe == exact  # probing every cell == exhaustive search
+
+    partial = ivf_topk(emb, q, k=3, n_cells=4, n_probe=1).collect()
+    assert len(partial) > 0
+    for r in partial:
+        assert -1.0 <= r["cos_sim"] <= 1.0
