@@ -32,7 +32,17 @@ def ngram_diversity(
 ) -> DataFrame:
     """One row: {uni,bi,tri}gram diversity = distinct/total over the whole
     corpus. Unigrams are stopword-filtered (reference
-    review_analysis.py:494-497); bi/trigrams are not."""
+    review_analysis.py:494-497); bi/trigrams are not.
+
+    Three map-only explode+aggregate passes (one per n). A measured
+    single-pass variant (concat of (n, gram)-tagged struct arrays,
+    explode once, pivot) was 1.5x SLOWER: the per-element struct tagging
+    costs more than re-scanning a column-pruned table, and the distinct
+    aggregation -- the actual bottleneck -- is identical either way.
+    NB: Spark binds two-parameter transform() lambdas as
+    (element, index); a `lambda g, n=n:` closure silently receives the
+    array index as n.
+    """
     distinct_fn = F.countDistinct if exact else F.approx_count_distinct
     parts = []
     for n, name in ((1, "unigram"), (2, "bigram"), (3, "trigram")):
@@ -46,8 +56,7 @@ def ngram_diversity(
                 )
             )
         )
-    out = parts[0].crossJoin(parts[1]).crossJoin(parts[2])
-    return out
+    return parts[0].crossJoin(parts[1]).crossJoin(parts[2])
 
 
 def ngram_frequencies(
