@@ -48,16 +48,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _avg4(col, cnt=None):
-    """Exact decimal sum -> one double division -> round(4): the
-    engine-independent deterministic mean."""
-    s = F.sum(col.cast("decimal(28,10)")).cast("double")
+    """Engine-independent deterministic mean: per-row round(6) — 6dp
+    grid points are never exact binary midpoints, so both engines round
+    identically — then EXACT decimal sum, one double division, round(4).
+    (Casting a raw double straight to decimal can differ between engines
+    in the 10th decimal: Spark rounds the exact binary expansion, DuckDB
+    scales the float.)"""
+    s = F.sum(F.round(col, 6).cast("decimal(28,10)")).cast("double")
     c = cnt if cnt is not None else F.count(col)
-    return F.round(s / c, 4)
+    # +1e-9 nudge before the final round: with <=2dp source data, exact
+    # 4dp midpoints (e.g. 307.03/8 = 38.37875) are common, and the two
+    # engines break the tie differently (exact binary expansion vs
+    # float-scaled multiply). The nudge moves every decimal-derived
+    # quotient off the midpoint identically on both sides.
+    return F.round(s / c + F.lit(1e-9), 4)
 
 
 def _sql_avg4(expr: str, cnt: str | None = None) -> str:
     c = cnt or f"count({expr})"
-    return f"round(cast(sum(cast(({expr}) as decimal(28,10))) as double) / {c}, 4)"
+    return (
+        f"round(cast(sum(cast(round(({expr}), 6) as decimal(28,10))) as double)"
+        f" / {c} + 1e-9, 4)"
+    )
 
 
 # SQL fragment builders (shared semantics with functions/*.py — built from
@@ -166,9 +178,9 @@ def sql_predict_lang(text_col: str) -> str:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_rows,
-           round(cast(sum(cast(l_quantity as decimal(28,10))) as double), 4) AS sum_qty,
-           round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,10))) as double), 4) AS revenue,
-           round(cast(sum(cast(l_quantity as decimal(28,10))) as double) / count(l_quantity), 4) AS avg_qty
+           round(cast(sum(cast(round(l_quantity, 6) as decimal(28,10))) as double), 4) AS sum_qty,
+           round(cast(sum(cast(round(l_extendedprice * (1 - l_discount), 6) as decimal(28,10))) as double), 4) AS revenue,
+           round(cast(sum(cast(round(l_quantity, 6) as decimal(28,10))) as double) / count(l_quantity) + 1e-9, 4) AS avg_qty
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -186,10 +198,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(F.col("l_quantity").cast("decimal(28,10)")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(F.round("l_quantity", 6).cast("decimal(28,10)")).cast("double"), 4).alias("sum_qty"),
             F.round(
                 F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("decimal(28,10)")
                 ).cast("double"),
                 4,
             ).alias("revenue"),
@@ -204,7 +216,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            count(*) AS n_lineitems,
-           round(cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(28,10))) as double), 4) AS revenue
+           round(cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount), 6) as decimal(28,10))) as double), 4) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -230,7 +242,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
             F.round(
                 F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("decimal(28,10)")
                 ).cast("double"),
                 4,
             ).alias("revenue"),
@@ -244,7 +256,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT nation, o_orderkey, total, rnk FROM (
       SELECT n.n_name AS nation, o.o_orderkey AS o_orderkey,
-             round(cast(cast(o.o_totalprice as decimal(28,10)) as double), 4) AS total,
+             round(cast(cast(round(o.o_totalprice, 6) as decimal(28,10)) as double), 4) AS total,
              row_number() OVER (PARTITION BY n.n_name
                                 ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
       FROM orders o
@@ -269,7 +281,7 @@ def top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             "o_orderkey",
-            F.round(F.col("o_totalprice").cast("decimal(28,10)").cast("double"), 4).alias("total"),
+            F.round(F.round("o_totalprice", 6).cast("decimal(28,10)").cast("double"), 4).alias("total"),
             F.col("o_totalprice"),
         )
         .withColumn("rnk", F.row_number().over(w))
@@ -306,7 +318,7 @@ def orders_referential_violations(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS cnt,
-           round(cast(sum(cast(value as decimal(28,10))) as double) / count(value), 4) AS avg_value
+           round(cast(sum(cast(round(value, 6) as decimal(28,10))) as double) / count(value) + 1e-9, 4) AS avg_value
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -522,9 +534,9 @@ def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     out = ngram_diversity(d, "text", exact=True)
     return out.select(
-        F.round("unigram_diversity", 4).alias("unigram_diversity"),
-        F.round("bigram_diversity", 4).alias("bigram_diversity"),
-        F.round("trigram_diversity", 4).alias("trigram_diversity"),
+        F.round(F.col("unigram_diversity") + 1e-9, 4).alias("unigram_diversity"),
+        F.round(F.col("bigram_diversity") + 1e-9, 4).alias("bigram_diversity"),
+        F.round(F.col("trigram_diversity") + 1e-9, 4).alias("trigram_diversity"),
     )
 
 
@@ -535,9 +547,9 @@ ORACLES["ngram_diversity"] = f"""
     bi  AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ng FROM toks),
     tri AS (SELECT unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ng FROM toks)
     SELECT
-      (SELECT round(cast(count(DISTINCT ng) as double) / count(ng), 4) FROM uni) AS unigram_diversity,
-      (SELECT round(cast(count(DISTINCT ng) as double) / count(ng), 4) FROM bi) AS bigram_diversity,
-      (SELECT round(cast(count(DISTINCT ng) as double) / count(ng), 4) FROM tri) AS trigram_diversity
+      (SELECT round(cast(count(DISTINCT ng) as double) / count(ng) + 1e-9, 4) FROM uni) AS unigram_diversity,
+      (SELECT round(cast(count(DISTINCT ng) as double) / count(ng) + 1e-9, 4) FROM bi) AS bigram_diversity,
+      (SELECT round(cast(count(DISTINCT ng) as double) / count(ng) + 1e-9, 4) FROM tri) AS trigram_diversity
 """
 
 
@@ -913,8 +925,9 @@ def sentiment_mismatch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("is_mismatch").cast("long")).alias("mismatches"),
             F.round(
-                F.sum(F.when(F.col("is_mismatch"), F.col("confidence")).cast("decimal(28,10)")).cast("double")
-                / F.sum(F.col("is_mismatch").cast("long")),
+                F.sum(F.round(F.when(F.col("is_mismatch"), F.col("confidence")), 6).cast("decimal(28,10)")).cast("double")
+                / F.sum(F.col("is_mismatch").cast("long"))
+                + F.lit(1e-9),
                 4,
             ).alias("avg_mismatch_confidence"),
         )
@@ -926,8 +939,8 @@ ORACLES["sentiment_mismatch_summary"] = f"""
     WITH v AS ({_sentiment_sql().replace("round(confidence, 4) AS confidence", "confidence")})
     SELECT labeled, count(*) AS n,
            sum(case when is_mismatch then 1 else 0 end) AS mismatches,
-           round(cast(sum(cast(case when is_mismatch then confidence end as decimal(28,10))) as double)
-                 / sum(case when is_mismatch then 1 else 0 end), 4) AS avg_mismatch_confidence
+           round(cast(sum(cast(round(case when is_mismatch then confidence end, 6) as decimal(28,10))) as double)
+                 / sum(case when is_mismatch then 1 else 0 end) + 1e-9, 4) AS avg_mismatch_confidence
     FROM v GROUP BY labeled ORDER BY labeled
 """
 
@@ -1006,7 +1019,7 @@ def suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "check_name",
         "passed",
         "violation_count",
-        F.round("metric_value", 4).alias("metric_value"),
+        F.round(F.col("metric_value") + 1e-9, 4).alias("metric_value"),
         F.round("threshold", 4).alias("threshold"),
     ).orderBy("partition_id", "check_name")
 
@@ -1027,17 +1040,17 @@ ORACLES["suite_verdicts"] = f"""
                FROM counts LEFT JOIN uniq USING (partition_id))
     SELECT partition_id, 'not_blank_text' AS check_name,
            c_blank = 0 AS passed, cast(c_blank as bigint) AS violation_count,
-           round(cast(c_blank as double) / n, 4) AS metric_value, 0.0 AS threshold
+           round(cast(c_blank as double) / n + 1e-9, 4) AS metric_value, 0.0 AS threshold
     FROM merged
     UNION ALL
     SELECT partition_id, 'in_set_lang', c_lang = 0, cast(c_lang as bigint),
-           round(cast(c_lang as double) / n, 4), 0.0 FROM merged
+           round(cast(c_lang as double) / n + 1e-9, 4), 0.0 FROM merged
     UNION ALL
     SELECT partition_id, 'in_range_n_chars', c_range = 0, cast(c_range as bigint),
-           round(cast(c_range as double) / n, 4), 0.0 FROM merged
+           round(cast(c_range as double) / n + 1e-9, 4), 0.0 FROM merged
     UNION ALL
     SELECT partition_id, 'unique_doc_id', dups = 0, cast(dups as bigint),
-           round(cast(dups as double), 4), 0.0 FROM merged
+           round(cast(dups as double) + 1e-9, 4), 0.0 FROM merged
     ORDER BY partition_id, check_name
 """
 
@@ -1054,7 +1067,7 @@ ORACLES["suite_verdicts"] = f"""
     SELECT c.c_mktsegment AS mktsegment,
            count(*) AS n_customers,
            sum(case when o.n_orders is null then 1 else 0 end) AS customers_without_orders,
-           round(cast(sum(cast(coalesce(o.n_orders, 0) as decimal(28,10))) as double) / count(*), 4) AS avg_orders
+           round(cast(sum(cast(round(coalesce(o.n_orders, 0), 6) as decimal(28,10))) as double) / count(*) + 1e-9, 4) AS avg_orders
     FROM customer c
     LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
       ON c.c_custkey = o.o_custkey
@@ -1073,8 +1086,9 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(F.col("n_orders").isNull().cast("long")).alias("customers_without_orders"),
             F.round(
-                F.sum(F.coalesce(F.col("n_orders"), F.lit(0)).cast("decimal(28,10)")).cast("double")
-                / F.count(F.lit(1)),
+                F.sum(F.round(F.coalesce(F.col("n_orders"), F.lit(0)), 6).cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(1e-9),
                 4,
             ).alias("avg_orders"),
         )
@@ -1138,7 +1152,7 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, '<all>') AS returnflag,
            coalesce(l_linestatus, '<all>') AS linestatus,
            count(*) AS n_rows,
-           round(cast(sum(cast(l_quantity as decimal(28,10))) as double), 4) AS sum_qty
+           round(cast(sum(cast(round(l_quantity, 6) as decimal(28,10))) as double), 4) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
@@ -1151,7 +1165,7 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(F.col("l_quantity").cast("decimal(28,10)")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(F.round("l_quantity", 6).cast("decimal(28,10)")).cast("double"), 4).alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
@@ -1291,7 +1305,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       (SELECT count(*) FROM es) AS es_tokens,
       (SELECT count(*) FROM (SELECT * FROM en INTERSECT SELECT * FROM es)) AS shared_tokens,
       round(cast((SELECT count(*) FROM (SELECT * FROM en INTERSECT SELECT * FROM es)) as double)
-            / (SELECT count(*) FROM (SELECT * FROM en UNION SELECT * FROM es)), 4) AS jaccard
+            / (SELECT count(*) FROM (SELECT * FROM en UNION SELECT * FROM es)) + 1e-9, 4) AS jaccard
     """,
 )
 def token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,7 +1318,7 @@ def token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = en.intersect(es).count()
     union = en.union(es).distinct().count()
     return spark.createDataFrame(
-        [(n_en, n_es, shared, round(shared / union, 4) if union else 0.0)],
+        [(n_en, n_es, shared, round(shared / union + 1e-9, 4) if union else 0.0)],
         "en_tokens long, es_tokens long, shared_tokens long, jaccard double",
     )
 
@@ -1507,11 +1521,14 @@ def reviews_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_reviews"),
         F.sum(F.col("is_mismatch").cast("long")).alias("sentiment_mismatches"),
         F.round(
-            F.sum(F.when(F.col("is_mismatch"), F.col("confidence")).cast("decimal(28,10)")).cast("double")
+            F.sum(F.round(F.when(F.col("is_mismatch"), F.col("confidence")), 6).cast("decimal(28,10)")).cast("double")
             / F.sum(F.col("is_mismatch").cast("long")),
             4,
         ).alias("avg_mismatch_confidence"),
         _avg4(flesch_reading_ease_fast("text")).alias("avg_linguistic_quality"),
+        # quirk #8: the reference reports average_similarity as a
+        # hardcoded 0.0 placeholder (review_analysis.py:297) — kept
+        F.lit(0.0).alias("average_similarity"),
     )
     dups = duplicate_metrics(r, "text", "id")
     return agg.crossJoin(dups)
@@ -1613,7 +1630,7 @@ def sentiment_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = base.withColumns(cols).select("labeled", "predicted")
     classes = ["positive", "negative", "neutral"]
     aggs = [
-        F.round(F.avg((F.col("labeled") == F.col("predicted")).cast("double")), 4).alias("accuracy")
+        F.round(F.avg((F.col("labeled") == F.col("predicted")).cast("double")) + 1e-9, 4).alias("accuracy")
     ]
     f1_cols = []
     for c in classes:
@@ -1624,11 +1641,11 @@ def sentiment_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * tp + fp + fn) > 0,
             (2.0 * tp.cast("double")) / (2 * tp + fp + fn).cast("double"),
         ).otherwise(F.lit(0.0))
-        aggs.append(F.round(f1, 4).alias(f"f1_{c}"))
+        aggs.append(F.round(f1 + 1e-9, 4).alias(f"f1_{c}"))
         f1_cols.append(f"f1_{c}")
     out = v.agg(*aggs)
     macro = F.round(
-        sum(F.col(c) for c in f1_cols) / F.lit(float(len(classes))), 4
+        sum(F.col(c) for c in f1_cols) / F.lit(float(len(classes))) + 1e-9, 4
     ).alias("macro_f1")
     return out.select("accuracy", *f1_cols, macro)
 
@@ -1637,14 +1654,14 @@ ORACLES["sentiment_eval_metrics"] = f"""
     WITH v AS ({_sentiment_sql().replace("round(confidence, 4) AS confidence", "confidence")}),
     agg AS (
       SELECT
-        round(avg(case when labeled = predicted then 1.0 else 0.0 end), 4) AS accuracy,
+        round(avg(case when labeled = predicted then 1.0 else 0.0 end) + 1e-9, 4) AS accuracy,
         round(case when (2*sum(case when labeled='positive' and predicted='positive' then 1 else 0 end)
                    + sum(case when labeled<>'positive' and predicted='positive' then 1 else 0 end)
                    + sum(case when labeled='positive' and predicted<>'positive' then 1 else 0 end)) > 0
               then 2.0*sum(case when labeled='positive' and predicted='positive' then 1 else 0 end)
                    / (2*sum(case when labeled='positive' and predicted='positive' then 1 else 0 end)
                       + sum(case when labeled<>'positive' and predicted='positive' then 1 else 0 end)
-                      + sum(case when labeled='positive' and predicted<>'positive' then 1 else 0 end))
+                      + sum(case when labeled='positive' and predicted<>'positive' then 1 else 0 end)) + 1e-9
               else 0.0 end, 4) AS f1_positive,
         round(case when (2*sum(case when labeled='negative' and predicted='negative' then 1 else 0 end)
                    + sum(case when labeled<>'negative' and predicted='negative' then 1 else 0 end)
@@ -1652,7 +1669,7 @@ ORACLES["sentiment_eval_metrics"] = f"""
               then 2.0*sum(case when labeled='negative' and predicted='negative' then 1 else 0 end)
                    / (2*sum(case when labeled='negative' and predicted='negative' then 1 else 0 end)
                       + sum(case when labeled<>'negative' and predicted='negative' then 1 else 0 end)
-                      + sum(case when labeled='negative' and predicted<>'negative' then 1 else 0 end))
+                      + sum(case when labeled='negative' and predicted<>'negative' then 1 else 0 end)) + 1e-9
               else 0.0 end, 4) AS f1_negative,
         round(case when (2*sum(case when labeled='neutral' and predicted='neutral' then 1 else 0 end)
                    + sum(case when labeled<>'neutral' and predicted='neutral' then 1 else 0 end)
@@ -1660,11 +1677,11 @@ ORACLES["sentiment_eval_metrics"] = f"""
               then 2.0*sum(case when labeled='neutral' and predicted='neutral' then 1 else 0 end)
                    / (2*sum(case when labeled='neutral' and predicted='neutral' then 1 else 0 end)
                       + sum(case when labeled<>'neutral' and predicted='neutral' then 1 else 0 end)
-                      + sum(case when labeled='neutral' and predicted<>'neutral' then 1 else 0 end))
+                      + sum(case when labeled='neutral' and predicted<>'neutral' then 1 else 0 end)) + 1e-9
               else 0.0 end, 4) AS f1_neutral
       FROM v)
     SELECT accuracy, f1_positive, f1_negative, f1_neutral,
-           round((f1_positive + f1_negative + f1_neutral) / 3.0, 4) AS macro_f1
+           round((f1_positive + f1_negative + f1_neutral) / 3.0 + 1e-9, 4) AS macro_f1
     FROM agg
 """
 
