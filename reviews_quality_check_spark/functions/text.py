@@ -139,6 +139,30 @@ def md5_fingerprint(col: Column | str) -> Column:
     return F.md5(norm_text(col))
 
 
+def winnowing_from_hashes(hashes: Column, window: int = 4) -> Column:
+    """Winnowing window minima over an ALREADY-MATERIALIZED hash-array
+    column (a bound attribute, e.g. after an exchange). Passing an
+    inline expression here makes codegen re-evaluate it once per window
+    (CollapseProject inlines producer projections into lambda bodies)."""
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.when(n_windows > 0, F.sort_array(F.array_distinct(mins))).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def shingle_hashes_long(col: Column | str, k: int = 3) -> Column:
+    """md5-derived 60-bit int per k-token shingle (winnowing input)."""
+    grams = word_ngrams(tokens(col), k)
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+
+
 def winnowing_fingerprints(
     col: Column | str, k: int = 3, window: int = 4
 ) -> Column:

@@ -1754,15 +1754,18 @@ def scored_sentiments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "embedding_near_dups",
     oracle="""
-    WITH pairs AS (
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> cast(x as double) /
+               sqrt(list_reduce(list_transform(embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y))
+             ) AS nv
+      FROM embeddings
+      WHERE list_reduce(list_transform(embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y) > 0),
+    pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_reduce(list_transform(range(1, len(a.embedding) + 1),
-                         i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double)),
-                         (x, y) -> x + y)
-             / (sqrt(list_reduce(list_transform(a.embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y))
-                * sqrt(list_reduce(list_transform(b.embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y)))
-             AS cos_sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+             list_reduce(list_transform(range(1, len(a.nv) + 1),
+                         i -> a.nv[i] * b.nv[i]), (x, y) -> x + y) AS cos_sim
+      FROM base a JOIN base b ON a.vec_id < b.vec_id)
     SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
     FROM pairs WHERE cos_sim >= 0.9
     ORDER BY id_a, id_b
@@ -1773,14 +1776,31 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline (oracle-matched). The 10^12-scale path is the
     LSH-bucketed variant (operators/ann.lsh_bucket_topk) — candidate
     buckets first, exact cosine rerank inside buckets."""
-    from reviews_quality_check_spark.operators.ann import cosine
+    from reviews_quality_check_spark.operators.ann import dot, l2_norm
 
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # Pre-divide by the L2 norm per VECTOR behind a repartition barrier:
+    # inlined, the norm subtree would be re-evaluated once per PAIR.
+    # The DuckDB oracle normalizes the same way (same op order), so the
+    # 4dp-rounded cosines stay bit-matched.
+    norm = l2_norm(F.col("embedding"))
+    base = (
+        e.select(F.col("vec_id"), F.col("embedding"), norm.alias("__n"))
+        .filter(F.col("__n") > 0)
+        .repartition(F.col("vec_id"))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") / F.col("__n")
+            ).alias("nv"),
+        )
+        .repartition(F.col("vec_id"))
+    )
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("va"))
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        pairs.select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= 0.9)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
         .orderBy("id_a", "id_b")
@@ -1813,11 +1833,20 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) rolling-hash fingerprints per document: count +
     first 5, engine-independent (md5-derived hashes)."""
-    from reviews_quality_check_spark.functions.text import winnowing_fingerprints
+    from reviews_quality_check_spark.functions.text import (
+        shingle_hashes_long,
+        winnowing_from_hashes,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints("text", k=3, window=4)
-    return d.select(
+    # repartition = materialization barrier: without it CollapseProject
+    # inlines the hash-array chain into the per-window lambda and the
+    # text is re-hashed once per window (minutes instead of seconds)
+    hashed = d.select(
+        "doc_id", shingle_hashes_long("text", k=3).alias("__h")
+    ).repartition(F.col("doc_id"))
+    fps = winnowing_from_hashes(F.col("__h"), window=4)
+    return hashed.select(
         "doc_id",
         F.size(fps).alias("n_fingerprints"),
         F.concat_ws(",", F.transform(F.slice(fps, 1, 5), lambda x: x.cast("string"))).alias(
