@@ -284,7 +284,7 @@ def top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.round("o_totalprice", 6).cast("decimal(28,10)").cast("double"), 4).alias("total"),
             F.col("o_totalprice"),
         )
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("nation", "o_orderkey", "total", "rnk")
         .orderBy("nation", "rnk")
@@ -367,7 +367,7 @@ def sample_strata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang AS group_key,
            count(*) AS row_count,
-           sum(case when text is null or trim(text) = '' then 1 else 0 end) AS blank_text,
+           cast(sum(case when text is null or trim(text) = '' then 1 else 0 end) as bigint) AS blank_text,
            count(DISTINCT source) AS distinct_sources,
            min(n_chars) AS min_chars,
            max(n_chars) AS max_chars,
@@ -444,7 +444,7 @@ ORACLES["quality_by_source"] = f"""
     WITH scored AS (SELECT source, ({sql_quality_score('text')}) AS q FROM documents)
     SELECT source, count(*) AS n_docs,
            {_sql_avg4('q')} AS avg_quality,
-           sum(case when q < 0.5 then 1 else 0 end) AS low_quality
+           cast(sum(case when q < 0.5 then 1 else 0 end) as bigint) AS low_quality
     FROM scored GROUP BY source ORDER BY source
 """
 
@@ -502,7 +502,7 @@ ORACLES["token_stats_by_lang"] = f"""
              ({sql_stopword_ratio(sql_tokens('text'))}) AS swr
       FROM documents)
     SELECT lang,
-           sum(n_tok) AS total_tokens,
+           cast(sum(n_tok) as bigint) AS total_tokens,
            {_sql_avg4('n_tok')} AS avg_tokens,
            {_sql_avg4('n_sent')} AS avg_sentences,
            {_sql_avg4('mwl')} AS avg_word_len,
@@ -609,7 +609,7 @@ def exact_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT count(*) AS gs FROM documents
       GROUP BY md5({sql_norm_text('text')}) HAVING count(*) >= 2)
-    SELECT coalesce(sum(gs - 1), 0) AS duplicates_found,
+    SELECT cast(coalesce(sum(gs - 1), 0) as bigint) AS duplicates_found,
            count(*) AS duplicate_groups
     FROM g
     """,
@@ -773,7 +773,10 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     out = brute_force_topk(e, q, k=5)
     return out.select(
-        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
     ).orderBy("query_id", "rank")
 
 
@@ -938,7 +941,7 @@ def sentiment_mismatch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["sentiment_mismatch_summary"] = f"""
     WITH v AS ({_sentiment_sql().replace("round(confidence, 4) AS confidence", "confidence")})
     SELECT labeled, count(*) AS n,
-           sum(case when is_mismatch then 1 else 0 end) AS mismatches,
+           cast(sum(case when is_mismatch then 1 else 0 end) as bigint) AS mismatches,
            round(cast(sum(cast(round(case when is_mismatch then confidence end, 6) as decimal(28,10))) as double)
                  / sum(case when is_mismatch then 1 else 0 end) + 1e-9, 4) AS avg_mismatch_confidence
     FROM v GROUP BY labeled ORDER BY labeled
@@ -1040,17 +1043,17 @@ ORACLES["suite_verdicts"] = f"""
                FROM counts LEFT JOIN uniq USING (partition_id))
     SELECT partition_id, 'not_blank_text' AS check_name,
            c_blank = 0 AS passed, cast(c_blank as bigint) AS violation_count,
-           round(cast(c_blank as double) / n + 1e-9, 4) AS metric_value, 0.0 AS threshold
+           round(cast(c_blank as double) / n + 1e-9, 4) AS metric_value, cast(0.0 as double) AS threshold
     FROM merged
     UNION ALL
     SELECT partition_id, 'in_set_lang', c_lang = 0, cast(c_lang as bigint),
-           round(cast(c_lang as double) / n + 1e-9, 4), 0.0 FROM merged
+           round(cast(c_lang as double) / n + 1e-9, 4), cast(0.0 as double) FROM merged
     UNION ALL
     SELECT partition_id, 'in_range_n_chars', c_range = 0, cast(c_range as bigint),
-           round(cast(c_range as double) / n + 1e-9, 4), 0.0 FROM merged
+           round(cast(c_range as double) / n + 1e-9, 4), cast(0.0 as double) FROM merged
     UNION ALL
     SELECT partition_id, 'unique_doc_id', dups = 0, cast(dups as bigint),
-           round(cast(dups as double) + 1e-9, 4), 0.0 FROM merged
+           round(cast(dups as double) + 1e-9, 4), cast(0.0 as double) FROM merged
     ORDER BY partition_id, check_name
 """
 
@@ -1066,7 +1069,7 @@ ORACLES["suite_verdicts"] = f"""
     oracle="""
     SELECT c.c_mktsegment AS mktsegment,
            count(*) AS n_customers,
-           sum(case when o.n_orders is null then 1 else 0 end) AS customers_without_orders,
+           cast(sum(case when o.n_orders is null then 1 else 0 end) as bigint) AS customers_without_orders,
            round(cast(sum(cast(round(coalesce(o.n_orders, 0), 6) as decimal(28,10))) as double) / count(*) + 1e-9, 4) AS avg_orders
     FROM customer c
     LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
@@ -1125,11 +1128,11 @@ def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_pivot_daily",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           sum(case when event_type = 'click' then 1 else 0 end) AS click,
-           sum(case when event_type = 'view' then 1 else 0 end) AS view,
-           sum(case when event_type = 'purchase' then 1 else 0 end) AS purchase,
-           sum(case when event_type = 'signup' then 1 else 0 end) AS signup,
-           sum(case when event_type = 'error' then 1 else 0 end) AS error
+           cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) AS click,
+           cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) AS view,
+           cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) AS purchase,
+           cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) AS signup,
+           cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) AS error
     FROM events GROUP BY 1 ORDER BY day
     """,
 )
@@ -1474,7 +1477,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     out = lsh_bucket_topk(e, q, dim=64, k=5, num_planes=6)
     return out.select(
-        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
     ).orderBy("query_id", "rank")
 
 
@@ -1848,7 +1854,7 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = winnowing_from_hashes(F.col("__h"), window=4)
     return hashed.select(
         "doc_id",
-        F.size(fps).alias("n_fingerprints"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
         F.concat_ws(",", F.transform(F.slice(fps, 1, 5), lambda x: x.cast("string"))).alias(
             "first_fps"
         ),
@@ -1865,5 +1871,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     out = ivf_topk(e, q, k=5, n_cells=8, n_probe=2)
     return out.select(
-        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
     ).orderBy("query_id", "rank")

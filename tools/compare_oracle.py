@@ -20,6 +20,24 @@ import duckdb
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def arrow_types(tbl, cols):
+    """Canonical Arrow type label per column, sorted by column name.
+
+    Emulates the driver's type-sensitive value hash: DuckDB integer sum()
+    returns HUGEINT (arrow decimal128(38,0)) while Spark emits int64 — values
+    identical, hash red. Comparing Arrow types catches that class locally.
+    string/large_string are unified (engine-default string width, not a
+    semantic difference).
+    """
+    label = {}
+    for name in cols:
+        t = str(tbl.schema.field(name).type)
+        if t in ("large_string", "string_view"):
+            t = "string"
+        label[name] = t
+    return [label[c] for c in sorted(cols)]
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
@@ -64,6 +82,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            satbl = sdf.toArrow()
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
@@ -73,12 +92,23 @@ def main() -> int:
             print(f"[rows-only] {name}: {len(srows)} rows, {len(scols)} cols")
             continue
         try:
+            oatbl = con.execute(oracles[name]).arrow()
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"[FAIL-duckdb] {name}: {type(e).__name__}: {str(e)[:400]}")
+            continue
+        st, ot = arrow_types(satbl, scols), arrow_types(oatbl, ocols)
+        if sorted(scols) == sorted(ocols) and st != ot:
+            failures.append(name)
+            diffs = [
+                (c, a, b)
+                for c, a, b in zip(sorted(scols), st, ot)
+                if a != b
+            ]
+            print(f"[FAIL-types] {name}: arrow type diffs {diffs}")
             continue
         sc, scn = canon(srows, scols)
         oc, ocn = canon(orows, ocols)
