@@ -80,6 +80,102 @@ def brute_force_topk(
     )
 
 
+def _hyperplane_raw(dim: int, plane_idx: int) -> list[float]:
+    """Unnormalized md5-derived hyperplane. Sign of dot(v, p) is invariant
+    to positive scaling of p, so skipping the L2 normalization keeps the
+    bucket assignment identical while making every component an exact
+    closed-form double — `('0x' || substring(md5(i || ':' || j), 1, 8))
+    ::bigint / 4294967295.0 * 2.0 - 1.0` — that a SQL oracle (DuckDB)
+    reproduces bit-for-bit."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{plane_idx}:{j}".encode()).hexdigest()[:8], 16)
+        / 4294967295.0
+        * 2.0
+        - 1.0
+        for j in range(dim)
+    ]
+
+
+def band_bucket_exprs(
+    vec: Column, dim: int, bands: int, rows_per_band: int
+) -> list[Column]:
+    """One integer bucket Column per LSH band: ``rows_per_band`` sign bits
+    of md5-derived hyperplane dot products, packed little-endian. Map-only,
+    linear in dim × planes; at 10^12 rows raise rows_per_band so expected
+    bucket occupancy stays bounded (bucket space = 2^rows_per_band per
+    band)."""
+    out = []
+    for b in range(bands):
+        bits = None
+        for i in range(rows_per_band):
+            p = _hyperplane_raw(dim, b * rows_per_band + i)
+            plane = F.array(*[F.lit(x) for x in p])
+            bit = F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        out.append(bits.cast("long").alias(f"band{b}"))
+    return out
+
+
+def near_dup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded random-hyperplane
+    LSH: candidates collide in >= 1 band's sign bucket, then exact cosine
+    rerank inside candidates only (reference analyzers/similarity.py:264-269
+    is likewise block-diagonal, never all-pairs).
+
+    Scale shape: map-only bucket pass, per-band equi-joins (AQE-splittable,
+    no cartesian), distinct on the candidate pair, one exact rerank per
+    surviving pair. Recall < 1 by construction — the pair set IS defined
+    as "banded-LSH candidates above threshold", which a SQL oracle can
+    mirror exactly (md5 hyperplanes are engine-portable).
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded 4dp.
+    """
+    # Stage 1: norm behind a repartition barrier — inlined, the norm
+    # subtree would be re-evaluated per normalized element (CollapseProject).
+    base = (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), l2_norm(F.col(vec_col)).alias("__n"))
+        .filter(F.col("__n") > 0)
+        .repartition(F.col("vid"))
+    )
+    # Stage 2: normalized vector + band buckets (buckets from the RAW
+    # vector — sign is scale-invariant), again behind a barrier so the
+    # join below sees materialized attributes, not expression trees.
+    staged = base.select(
+        "vid",
+        F.transform(F.col("v"), lambda x: x.cast("double") / F.col("__n")).alias("nv"),
+        *band_bucket_exprs(F.col("v"), dim, bands, rows_per_band),
+    ).repartition(F.col("vid"))
+
+    cand = None
+    for b in range(bands):
+        a = staged.select(
+            F.col("vid").alias("id_a"), F.col("nv").alias("va"), F.col(f"band{b}").alias("bk")
+        )
+        bb = staged.select(
+            F.col("vid").alias("id_b"), F.col("nv").alias("vb"), F.col(f"band{b}").alias("bk")
+        )
+        j = a.join(bb, "bk").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos")
+        )
+        cand = j if cand is None else cand.unionAll(j)
+    return (
+        cand.groupBy("id_a", "id_b")
+        .agg(F.min("cos").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit hyperplane from md5 — no RNG
     state, reproducible across sessions and engines."""
@@ -169,8 +265,10 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: sign-pattern bucket join + exact cosine
     rerank within buckets. Recall < 1.0 by construction; bucket count =
-    2^num_planes. The scale path for corpus × corpus self-search."""
-    planes = [_hyperplane(dim, i) for i in range(num_planes)]
+    2^num_planes. The scale path for corpus × corpus self-search.
+    Unnormalized md5-derived planes (sign-equivalent) so a SQL oracle
+    reproduces the buckets exactly."""
+    planes = [_hyperplane_raw(dim, i) for i in range(num_planes)]
 
     def bucket_expr(vec: Column) -> Column:
         bits = []

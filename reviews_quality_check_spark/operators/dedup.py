@@ -290,34 +290,39 @@ def near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash via explode-then-aggregate (same Catalyst-collapse
-    rationale as MinHash: nested bit-loop lambdas would re-tokenize 64x).
+SIMHASH_BITS = 60  # 15 md5 hex chars -> fits signed int64 in any engine
 
-    Explode tokens -> xxhash64 per token (one JVM hash) -> 64 flat
-    SUM(IF(bit set, 1, -1)) aggregate expressions -> assemble the final
-    hash with shiftleft/bitwise-OR over the 64 aggregated votes.
-    Deterministic within Spark (xxhash64 seed 42); not oracle-matched in
-    DuckDB (different hash function) — rows-only check.
+
+def simhash_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash via explode-then-aggregate (same Catalyst-collapse
+    rationale as MinHash: nested bit-loop lambdas would re-tokenize 60x).
+
+    Explode tokens -> md5-derived 60-bit int per token (15 hex chars, the
+    same portable trick as MinHash — `('0x'||substring(md5(t),1,15))
+    ::bigint` in DuckDB, `conv(substring(md5(t),1,15),16,10)` here) ->
+    60 flat SUM(IF(bit set, 1, -1)) aggregates -> assemble with
+    shiftleft/bitwise-OR over the votes. 60 bits keeps every intermediate
+    inside signed int64 (no sign-bit special case), so the DuckDB oracle
+    reproduces the hash bit-for-bit.
     """
-    hashed = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("__t"))
-        .select("id", F.xxhash64(F.col("__t")).alias("__h"))
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("__t")
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10).cast("long").alias("__h"),
     )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1).cast("long")) == 1, 1)
             .otherwise(-1)
         ).alias(f"__v{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     agg = hashed.groupBy("id").agg(*votes)
     sim = F.lit(0).cast("long")
-    for b in range(64):
-        # bit 63 is the sign bit: 1<<63 overflows a Java long literal
-        bit_val = (1 << b) if b < 63 else -(1 << 63)
+    for b in range(SIMHASH_BITS):
         sim = sim.bitwiseOR(
-            F.when(F.col(f"__v{b}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         )
     return agg.select("id", sim.alias("simhash"))
 
@@ -330,5 +335,7 @@ def simhash_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     sh = simhash_rows(df, text_col, id_col)
     return (
         sh.withColumnRenamed("id", id_col)
-        .withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
+        .withColumn(
+            "bucket", F.shiftrightunsigned(F.col("simhash"), SIMHASH_BITS - prefix_bits)
+        )
     )

@@ -47,6 +47,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
 
 
+# embeddings table shape + banded-LSH config shared by the ANN queries
+_EMB_DIM = 64
+_LSH_BANDS = 4
+_LSH_R = 8
+
+
 def _avg4(col, cnt=None):
     """Engine-independent deterministic mean: per-row round(6) — 6dp
     grid points are never exact binary midpoints, so both engines round
@@ -727,10 +733,28 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@_register("simhash_buckets")  # hash-engine-specific: rows-only check
+@_register(
+    "simhash_buckets",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::bigint AS h FROM t),
+    bits AS (
+      SELECT doc_id, r.b AS b,
+             sum(case when (h >> r.b) & 1 = 1 then 1 else -1 end) AS vote
+      FROM h CROSS JOIN (SELECT cast(range as int) AS b FROM range(0, 60)) r
+      GROUP BY 1, 2),
+    sh AS (
+      SELECT doc_id,
+             cast(sum(case when vote > 0 then (1::bigint << b) else 0 end) as bigint) AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT doc_id, simhash, simhash >> 44 AS bucket
+    FROM sh ORDER BY doc_id
+    """,
+)
 def simhash_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 bucket assignment (xxhash64-based — deterministic within
-    Spark, not oracle-matched; driver records the rows-only check)."""
+    """SimHash-60 bucket assignment. Token hashes are md5-derived 60-bit
+    ints (engine-portable), so the DuckDB oracle reproduces the hash and
+    the 16-bit prefix bucket exactly."""
     from reviews_quality_check_spark.operators.dedup import simhash_buckets
 
     d = _t(spark, sf_dir, "documents")
@@ -811,16 +835,42 @@ def _sql_any_regex(col: str, patterns) -> str:
     return "(" + " OR ".join(f"regexp_matches({col}, '{_sql_esc(p)}')" for p in patterns) + ")"
 
 
-def _sentiment_sql() -> str:
-    tech = SR.DOMAIN_INDICATORS["technology"]
+def _sentiment_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    labeled_sql: str | None = None,
+    domain_sql: str | None = None,
+) -> str:
+    """DuckDB mirror of the full sentiment-validation chain, parameterized
+    on the input relation: ``source`` may be a table name or a
+    parenthesized subquery, ``labeled_sql`` the ground-truth label
+    expression, ``domain_sql`` a per-row domain column (None = fixed
+    'technology', the documents-query default)."""
     thr = SR.THRESHOLDS_BINARY
+    if labeled_sql is None:
+        labeled_sql = (
+            "CASE cast(doc_id % 3 as int) WHEN 0 THEN 'positive' "
+            "WHEN 1 THEN 'negative' ELSE 'neutral' END"
+        )
+
+    def dcount(kind: str) -> str:
+        if domain_sql is None:
+            return _sql_count_contains("tl", SR.DOMAIN_INDICATORS["technology"][kind])
+        branches = " ".join(
+            f"WHEN '{dom}' THEN {_sql_count_contains('tl', ind[kind])}"
+            for dom, ind in SR.DOMAIN_INDICATORS.items()
+        )
+        # unknown domain -> 0 counts -> dsent NULL, same as the engine
+        return f"(CASE {domain_sql} {branches} ELSE 0 END)"
+
+    domain_carry = f", {domain_sql} AS __domain" if domain_sql is not None else ""
+    if domain_sql is not None:
+        domain_sql = "__domain"
     return f"""
     WITH base AS (
-      SELECT doc_id, text, lower(text) AS tl, {sql_tokens('text')} AS toks,
-             CASE cast(doc_id % 3 as int) WHEN 0 THEN 'positive'
-                                          WHEN 1 THEN 'negative'
-                                          ELSE 'neutral' END AS labeled
-      FROM documents),
+      SELECT {id_col} AS doc_id, text, lower(text) AS tl, {sql_tokens('text')} AS toks,
+             {labeled_sql} AS labeled{domain_carry}
+      FROM {source}),
     feat AS (
       SELECT *,
         {_sql_count_tokens('toks', SR.SURROGATE_POSITIVE)} AS pos,
@@ -828,9 +878,9 @@ def _sentiment_sql() -> str:
         {_sql_any_contains('tl', SR.CONTRAST_MARKERS)} AS has_contrast,
         len(toks) AS n_words,
         len(string_split_regex(text, '[.!?]+')) > 1 AS multi,
-        {_sql_count_contains('tl', tech['positive'])} AS dpos,
-        {_sql_count_contains('tl', tech['negative'])} AS dneg,
-        {_sql_count_contains('tl', tech['neutral_markers'])} AS dneu,
+        {dcount('positive')} AS dpos,
+        {dcount('negative')} AS dneg,
+        {dcount('neutral_markers')} AS dneu,
         {_sql_any_contains('tl', SR.NEUTRAL_INDICATORS)} AS has_ind,
         {_sql_count_contains('tl', SR.NEUTRAL_INDICATORS)} AS ncount,
         {_sql_any_regex('tl', SR.NEUTRAL_PATTERNS)} AS has_pat
@@ -1467,10 +1517,56 @@ def truncate_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@_register("ann_lsh_topk")  # hyperplanes derive from python md5 -> rows-only
+@_register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH planes AS (
+      SELECT cast(i as int) AS pid,
+             list_transform(range(0, {_EMB_DIM}),
+               j -> ('0x' || substring(md5(i::varchar || ':' || j::varchar), 1, 8))::bigint
+                    / 4294967295.0 * 2.0 - 1.0) AS p
+      FROM range(0, 6) t(i)),
+    base AS (SELECT vec_id, embedding FROM embeddings),
+    dots AS (
+      SELECT b.vec_id, pl.pid,
+             list_reduce(list_transform(range(1, {_EMB_DIM} + 1),
+                         k -> cast(b.embedding[k] as double) * pl.p[k]), (x, y) -> x + y) AS d
+      FROM base b CROSS JOIN planes pl),
+    buckets AS (
+      SELECT vec_id,
+             cast(sum(case when d >= 0 then (1 << pid) else 0 end) as bigint) AS bucket
+      FROM dots GROUP BY vec_id),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, {_EMB_DIM} + 1),
+                         k -> cast(bq.embedding[k] as double) * cast(bc.embedding[k] as double)),
+                         (x, y) -> x + y) AS dp,
+             sqrt(list_reduce(list_transform(bq.embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(bc.embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y)) AS denom
+      FROM buckets q
+      JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      JOIN base bq ON bq.vec_id = q.vec_id
+      JOIN base bc ON bc.vec_id = c.vec_id
+      WHERE q.vec_id < 10),
+    r AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN denom > 0 THEN dp / denom ELSE 0.0 END AS cos_sim
+      FROM scored),
+    rk AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM r)
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim,
+           cast(rank as bigint) AS rank
+    FROM rk WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (scale path): sign-bucket join + exact
-    rerank. Deterministic (md5-derived planes) but not SQL-expressible."""
+    rerank. md5-derived planes are engine-portable, so the DuckDB oracle
+    reproduces buckets, cosines, and ranking bit-for-bit."""
     from reviews_quality_check_spark.operators.ann import lsh_bucket_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1505,12 +1601,46 @@ def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("reviews_pipeline_metrics")
+_PIPELINE_N = 10_000
+
+
+def _pipeline_metrics_oracle() -> str:
+    from reviews_quality_check_spark.sources.reviews import sql_synth_reviews
+
+    sent = _sentiment_sql(
+        source="rev", id_col="id", labeled_sql="sentiment", domain_sql="domain"
+    ).replace("round(confidence, 4) AS confidence", "confidence")
+    return f"""
+    WITH rev AS (SELECT * FROM {sql_synth_reviews(_PIPELINE_N)}),
+    v AS ({sent}),
+    agg AS (
+      SELECT count(*) AS total_reviews,
+             cast(sum(case when is_mismatch then 1 else 0 end) as bigint) AS sentiment_mismatches,
+             round(cast(sum(cast(round(case when is_mismatch then confidence end, 6) as decimal(28,10))) as double)
+                   / sum(case when is_mismatch then 1 else 0 end) + 1e-9, 4) AS avg_mismatch_confidence
+      FROM v),
+    fl AS (
+      SELECT {_sql_avg4(f"({sql_flesch('text')})")} AS avg_linguistic_quality,
+             cast(0.0 as double) AS average_similarity
+      FROM rev),
+    d AS (
+      SELECT cast(coalesce(sum(gs - 1), 0) as bigint) AS duplicates_found,
+             count(*) AS duplicate_groups
+      FROM (SELECT count(*) AS gs FROM rev
+            GROUP BY md5({sql_norm_text('text')}) HAVING count(*) >= 2))
+    SELECT * FROM agg CROSS JOIN fl CROSS JOIN d
+    """
+
+
+@_register("reviews_pipeline_metrics", oracle=None)
 def reviews_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's per-file metrics assembly (review_analysis.py:294-340)
-    over the deterministic synthetic reviews fixture: total reviews,
-    both duplicate metrics, mismatch count, avg mismatch confidence,
-    avg Flesch — one metrics row, the process_file contract."""
+    over the deterministic synthetic reviews fixture (N=10k, the pinned
+    regression anchor): total reviews, both duplicate metrics, mismatch
+    count, avg mismatch confidence, avg Flesch — one metrics row, the
+    process_file contract. Oracle-gated end-to-end: the fixture itself is
+    regenerated in DuckDB (md5-indexed), so every column is cross-engine
+    verified."""
     from reviews_quality_check_spark.functions.readability import (
         flesch_reading_ease_fast,
     )
@@ -1520,15 +1650,15 @@ def reviews_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reviews_quality_check_spark.operators.dedup import duplicate_metrics
     from reviews_quality_check_spark.sources.reviews import synth_reviews
 
-    n = 2000 if "0.01" in sf_dir else 10000
-    r = synth_reviews(spark, n)
+    r = synth_reviews(spark, _PIPELINE_N)
     v = validate_sentiments(r)
     agg = v.agg(
         F.count(F.lit(1)).alias("total_reviews"),
         F.sum(F.col("is_mismatch").cast("long")).alias("sentiment_mismatches"),
         F.round(
             F.sum(F.round(F.when(F.col("is_mismatch"), F.col("confidence")), 6).cast("decimal(28,10)")).cast("double")
-            / F.sum(F.col("is_mismatch").cast("long")),
+            / F.sum(F.col("is_mismatch").cast("long"))
+            + F.lit(1e-9),
             4,
         ).alias("avg_mismatch_confidence"),
         _avg4(flesch_reading_ease_fast("text")).alias("avg_linguistic_quality"),
@@ -1538,6 +1668,9 @@ def reviews_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dups = duplicate_metrics(r, "text", "id")
     return agg.crossJoin(dups)
+
+
+ORACLES["reviews_pipeline_metrics"] = _pipeline_metrics_oracle()
 
 
 # ===========================================================================
@@ -1741,10 +1874,30 @@ def sentence_flow_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("scored_sentiments")  # pandas-UDF scorer: rows-only check
+@_register(
+    "scored_sentiments",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    feat AS (
+      SELECT doc_id,
+             {_sql_count_tokens('toks', SR.SURROGATE_POSITIVE)} AS pos,
+             {_sql_count_tokens('toks', SR.SURROGATE_NEGATIVE)} AS neg
+      FROM base)
+    SELECT doc_id,
+           CASE WHEN pos > neg THEN 'positive'
+                WHEN neg > pos THEN 'negative' ELSE 'neutral' END AS label,
+           round(CASE WHEN pos = neg
+                      THEN greatest(0.50, least(0.88, 0.88 - 0.04 * (pos + neg)))
+                      ELSE least(0.98, 0.62 + 0.09 * abs(pos - neg)) END,
+                 4) AS confidence
+    FROM feat ORDER BY doc_id
+    """,
+)
 def scored_sentiments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 pattern: Arrow-batched pluggable model scorer (deterministic
-    surrogate here; HF pipeline wiring for clusters) over documents."""
+    surrogate here; HF pipeline wiring for clusters) over documents.
+    The surrogate chain is pure float arithmetic over token counts, so
+    the DuckDB oracle reproduces the pandas-UDF output bit-for-bit."""
     from reviews_quality_check_spark.functions.udfs import make_scorer_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -1759,58 +1912,60 @@ def scored_sentiments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "embedding_near_dups",
-    oracle="""
-    WITH base AS (
-      SELECT vec_id,
+    oracle=f"""
+    WITH planes AS (
+      SELECT cast(i as int) AS pid,
+             list_transform(range(0, {_EMB_DIM}),
+               j -> ('0x' || substring(md5(i::varchar || ':' || j::varchar), 1, 8))::bigint
+                    / 4294967295.0 * 2.0 - 1.0) AS p
+      FROM range(0, {_LSH_BANDS * _LSH_R}) t(i)),
+    base AS (
+      SELECT vec_id, embedding,
              list_transform(embedding, x -> cast(x as double) /
                sqrt(list_reduce(list_transform(embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y))
              ) AS nv
       FROM embeddings
       WHERE list_reduce(list_transform(embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y) > 0),
+    dots AS (
+      SELECT b.vec_id, pl.pid,
+             list_reduce(list_transform(range(1, {_EMB_DIM} + 1),
+                         k -> cast(b.embedding[k] as double) * pl.p[k]), (x, y) -> x + y) AS d
+      FROM base b CROSS JOIN planes pl),
+    buckets AS (
+      SELECT vec_id, pid // {_LSH_R} AS band,
+             cast(sum(case when d >= 0 then (1 << (pid % {_LSH_R})) else 0 end) as bigint) AS bucket
+      FROM dots GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
     pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_reduce(list_transform(range(1, len(a.nv) + 1),
-                         i -> a.nv[i] * b.nv[i]), (x, y) -> x + y) AS cos_sim
-      FROM base a JOIN base b ON a.vec_id < b.vec_id)
-    SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
-    FROM pairs WHERE cos_sim >= 0.9
+      SELECT c.id_a, c.id_b,
+             list_reduce(list_transform(range(1, {_EMB_DIM} + 1),
+                         i -> na.nv[i] * nb.nv[i]), (x, y) -> x + y) AS cos
+      FROM cand c
+      JOIN base na ON na.vec_id = c.id_a
+      JOIN base nb ON nb.vec_id = c.id_b)
+    SELECT id_a, id_b, round(cos, 4) AS cos_sim
+    FROM pairs WHERE cos >= 0.9
     ORDER BY id_a, id_b
     """,
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.9), exact
-    brute-force baseline (oracle-matched). The 10^12-scale path is the
-    LSH-bucketed variant (operators/ann.lsh_bucket_topk) — candidate
-    buckets first, exact cosine rerank inside buckets."""
-    from reviews_quality_check_spark.operators.ann import dot, l2_norm
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9) via banded
+    random-hyperplane LSH + exact rerank inside candidate buckets —
+    the 10^12-scale plan (no cartesian; per-band equi-joins). The oracle
+    mirrors the md5-derived hyperplanes exactly, so the candidate set and
+    the 4dp cosines are bit-matched across engines. Reference anchor:
+    analyzers/similarity.py:264-269 (block-diagonal, never all-pairs).
+    The exact all-pairs baseline survives as a pytest crosscheck
+    (tests/test_ann.py) at fixture scale."""
+    from reviews_quality_check_spark.operators.ann import near_dup_pairs_lsh
 
     e = _t(spark, sf_dir, "embeddings")
-    # Pre-divide by the L2 norm per VECTOR behind a repartition barrier:
-    # inlined, the norm subtree would be re-evaluated once per PAIR.
-    # The DuckDB oracle normalizes the same way (same op order), so the
-    # 4dp-rounded cosines stay bit-matched.
-    norm = l2_norm(F.col("embedding"))
-    base = (
-        e.select(F.col("vec_id"), F.col("embedding"), norm.alias("__n"))
-        .filter(F.col("__n") > 0)
-        .repartition(F.col("vec_id"))
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("embedding"), lambda x: x.cast("double") / F.col("__n")
-            ).alias("nv"),
-        )
-        .repartition(F.col("vec_id"))
-    )
-    a = base.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("va"))
-    b = base.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos"))
-        .filter(F.col("cos") >= 0.9)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
-        .orderBy("id_a", "id_b")
-    )
+    return near_dup_pairs_lsh(
+        e, dim=_EMB_DIM, threshold=0.9, bands=_LSH_BANDS, rows_per_band=_LSH_R
+    ).orderBy("id_a", "id_b")
 
 
 @_register(

@@ -6,11 +6,13 @@ every sentiment-rule branch: neutral-indicator substrings, contrast
 markers, negations, regex-pattern hits, multi-sentence >20-word texts,
 exact duplicates under the 50-word gate, and polar keyword rows.
 
-Built entirely from Spark expressions (xxhash64-indexed template pool),
-so a 10k-row fixture materializes in milliseconds on any cluster size
-and is bit-identical everywhere — the engine's analog of the
-reference's Tech10k regression dataset (Report/analysis.log anchors:
-231 mismatches / 53 removals at fixed config).
+Built entirely from Spark expressions (md5-indexed template pool), so a
+10k-row fixture materializes in milliseconds on any cluster size and is
+bit-identical everywhere — the engine's analog of the reference's
+Tech10k regression dataset (Report/analysis.log anchors: 231 mismatches
+/ 53 removals at fixed config). md5 (not xxhash64) so ANY engine can
+regenerate the identical fixture: sql_synth_reviews() emits the DuckDB
+twin, which is what lets reviews_pipeline_metrics be oracle-gated.
 """
 
 from __future__ import annotations
@@ -53,7 +55,14 @@ def synth_reviews(spark: SparkSession, n_rows: int, seed: int = 42,
     """n_rows review rows; ~dup_rate_pct% exact duplicates (short texts,
     satisfying the reference's <=50-word exact-match gate)."""
     df = spark.range(1, n_rows + 1).withColumnRenamed("id", "rid")
-    h = lambda salt: F.abs(F.xxhash64(F.col("rid"), F.lit(seed), F.lit(salt)))  # noqa: E731
+
+    def h(salt: str):
+        # 60-bit md5-derived int — portable: DuckDB computes the identical
+        # value as ('0x' || substring(md5(rid || ':seed:salt'), 1, 15))::bigint
+        key = F.concat_ws(
+            ":", F.col("rid").cast("string"), F.lit(str(seed)), F.lit(salt)
+        )
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
 
     tpl = F.element_at(
         F.array([F.lit(t) for t in _TEMPLATES]),
@@ -81,3 +90,33 @@ def synth_reviews(spark: SparkSession, n_rows: int, seed: int = 42,
         sentiment.alias("sentiment"),
         domain.alias("domain"),
     )
+
+
+def sql_synth_reviews(n_rows: int, seed: int = 42, dup_rate_pct: int = 2) -> str:
+    """DuckDB subquery regenerating synth_reviews() bit-identically —
+    same md5-derived indices, same template pool, same label/domain
+    draws. Used to oracle-gate every query that consumes the fixture."""
+    tpl_list = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in _TEMPLATES) + "]"
+    sent_list = "[" + ", ".join(f"'{s}'" for s in SENTIMENTS) + "]"
+    dom_list = "[" + ", ".join(f"'{d}'" for d in DOMAINS) + "]"
+
+    def h(salt: str) -> str:
+        return (
+            f"('0x' || substring(md5(rid::varchar || ':{seed}:{salt}'), 1, 15))::bigint"
+        )
+
+    return f"""(
+    WITH r AS (SELECT cast(range as bigint) AS rid FROM range(1, {n_rows + 1})),
+    g AS (
+      SELECT rid,
+             {tpl_list}[cast({h('tpl')} % {len(_TEMPLATES)} + 1 as int)] AS tpl,
+             ' unit ' || ({h('sfx')} % 1000)::varchar AS suffix,
+             {h('dup')} % 100 < {dup_rate_pct} AS is_dup,
+             {h('sent')} % 100 AS hs,
+             {h('dom')} % 100 AS hd
+      FROM r)
+    SELECT rid AS id,
+           CASE WHEN is_dup THEN tpl ELSE tpl || suffix END AS text,
+           {sent_list}[CASE WHEN hs < 45 THEN 1 WHEN hs < 80 THEN 2 ELSE 3 END] AS sentiment,
+           {dom_list}[CASE WHEN hd < 80 THEN 1 ELSE 2 END] AS domain
+    FROM g)"""

@@ -177,3 +177,52 @@ def test_ivf_topk_recall_vs_bruteforce(emb, spark):
     assert len(partial) > 0
     for r in partial:
         assert -1.0 <= r["cos_sim"] <= 1.0
+
+
+def test_near_dup_lsh_finds_perturbed_copies(spark):
+    """LSH near-dup pairs: perturbed copies (cos ~ 0.9999) must collide in
+    some band and be reported; the reported pair set must be a subset of
+    the exact brute-force answer, with matching 4dp cosines."""
+    import random
+
+    from reviews_quality_check_spark.operators.ann import dot, l2_norm, near_dup_pairs_lsh
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(30):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, v, 0))
+        if i < 8:  # near-identical twin: tiny perturbation, cos ~ 0.9999
+            rows.append((100 + i, [x + rng.uniform(-1e-3, 1e-3) for x in v], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in near_dup_pairs_lsh(df, dim=dim, threshold=0.9).collect()
+    }
+    # exact brute-force reference over the same normalized arithmetic
+    base = (
+        df.select("vec_id", l2_norm(F.col("embedding")).alias("n"), "embedding")
+        .filter(F.col("n") > 0)
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("n")).alias("nv"),
+        )
+    )
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("va"))
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("vb"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot(F.col("va"), F.col("vb")), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.9)
+        .collect()
+    }
+    # every twin pair is found (cos ~ 0.9999 => all 32 sign bits agree
+    # unless a dot sits within ~1e-3 of a hyperplane; seed chosen green)
+    for i in range(8):
+        assert (i, 100 + i) in got, f"twin pair ({i}, {100 + i}) missed"
+    # LSH pairs are a subset of brute-force with identical cosines
+    for pair, sim in got.items():
+        assert pair in brute and brute[pair] == sim

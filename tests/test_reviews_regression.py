@@ -32,9 +32,9 @@ def reviews(spark):
 # version bump of the rule layer or the fixture generator (the engine's
 # analog of the reference's 231-mismatch / 53-removal log anchor)
 EXPECTED_MISMATCHES = 5041
-EXPECTED_MISMATCHES_BY_LABEL = {"positive": 2470, "negative": 2179, "neutral": 392}
-EXPECTED_DUPLICATES_FOUND = 2158
-EXPECTED_DUPLICATE_GROUPS = 1702
+EXPECTED_MISMATCHES_BY_LABEL = {"positive": 2545, "negative": 2111, "neutral": 385}
+EXPECTED_DUPLICATES_FOUND = 2291
+EXPECTED_DUPLICATE_GROUPS = 1818
 
 
 def test_fixture_shape(reviews):
