@@ -139,6 +139,19 @@ def md5_fingerprint(col: Column | str) -> Column:
     return F.md5(norm_text(col))
 
 
+def md5_fingerprint_exact(col: Column | str) -> Column:
+    """Reference-exact duplicate key: lower + strip with INTERNAL
+    whitespace preserved (analyzers/similarity.py:235 uses
+    text.lower().strip() — no run collapse). Python's strip() removes all
+    whitespace classes, so edges are trimmed with \\s regexes (Spark/
+    DuckDB trim() would only strip spaces)."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"^\s+", ""), r"\s+$", ""
+    )
+    return F.md5(stripped)
+
+
 def winnowing_from_hashes(hashes: Column, window: int = 4) -> Column:
     """Winnowing window minima over an ALREADY-MATERIALIZED hash-array
     column (a bound attribute, e.g. after an exchange). Passing an

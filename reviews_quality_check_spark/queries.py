@@ -682,6 +682,21 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(d, "text", "doc_id").orderBy("id_a", "id_b")
 
 
+def _sql_fp_exact(col: str) -> str:
+    """Reference-exact dup key (similarity.py:235): lower + strip, internal
+    whitespace preserved — mirrors functions.text.md5_fingerprint_exact."""
+    return (
+        f"md5(regexp_replace(regexp_replace(lower({col}), '^\\s+', ''), '\\s+$', ''))"
+    )
+
+
+def _sql_words(col: str) -> str:
+    return (
+        f"(case when {sql_norm_text(col)} = '' then []"
+        f" else string_split({sql_norm_text(col)}, ' ') end)"
+    )
+
+
 def _sql_simset(col: str) -> str:
     """DuckDB version of the reference similarity n-gram set (word +
     char-3grams + word-3grams) over whitespace words of normalized text."""
@@ -1684,7 +1699,8 @@ ORACLES["reviews_pipeline_metrics"] = _pipeline_metrics_oracle()
     WITH base AS (
       SELECT doc_id AS id,
              cast(floor(doc_id / 100) as bigint) AS block_id,
-             md5({sql_norm_text('text')}) AS fp,
+             {_sql_fp_exact('text')} AS fp,
+             len({_sql_words('text')}) <= 50 AS short,
              {_sql_simset('text')} AS ngset
       FROM documents),
     pairs AS (
@@ -1692,7 +1708,8 @@ ORACLES["reviews_pipeline_metrics"] = _pipeline_metrics_oracle()
              cast(len(list_filter(a.ngset, x -> list_contains(b.ngset, x))) as double)
              / cast(len(list_distinct(list_concat(a.ngset, b.ngset))) as double) AS sim
       FROM base a JOIN base b
-        ON a.block_id = b.block_id AND a.id < b.id AND a.fp <> b.fp)
+        ON a.block_id = b.block_id AND a.id < b.id
+        AND NOT (a.short AND b.short AND a.fp = b.fp))
     SELECT block_id, id_a, id_b, round(sim, 4) AS similarity,
            case when sim >= 0.9 then 'critical'
                 when sim >= 0.8 then 'high'
@@ -1724,7 +1741,7 @@ def blocked_similar_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM documents
       WHERE len(case when {sql_norm_text('text')} = '' then []
                      else string_split({sql_norm_text('text')}, ' ') end) <= 50)
-    SELECT md5({sql_norm_text('text')}) AS fingerprint,
+    SELECT {_sql_fp_exact('text')} AS fingerprint,
            array_to_string(list_sort(list(doc_id)), ',') AS member_ids,
            count(*) AS group_size
     FROM gated GROUP BY 1 HAVING count(*) >= 2
@@ -1732,7 +1749,8 @@ def blocked_similar_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def exact_dup_groups_gated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dup groups with the reference's <=50-word gate (quirk #2)."""
+    """Exact-dup groups with the reference's <=50-word gate (quirk #2)
+    on the reference-exact lower+strip key."""
     from reviews_quality_check_spark.operators.similarity_blocked import (
         exact_dup_groups_gated,
     )
@@ -1746,6 +1764,93 @@ def exact_dup_groups_gated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "group_size",
     ).orderBy("fingerprint")
+
+
+def _combined_sql(block: int, t1: float, t2: float, t3: float, dup: float) -> str:
+    """DuckDB mirror of operators.similarity_blocked.combined_similar_pairs."""
+    return f"""
+    WITH nv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> cast(x as double) /
+               sqrt(list_reduce(list_transform(embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y))
+             ) AS nv
+      FROM embeddings
+      WHERE list_reduce(list_transform(embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y) > 0),
+    doc AS (
+      SELECT doc_id AS id, cast(floor(doc_id / {block}) as bigint) AS block_id,
+             {_sql_fp_exact('text')} AS fp,
+             len({_sql_words('text')}) <= 50 AS short,
+             {_sql_simset('text')} AS ngset
+      FROM documents),
+    base AS (SELECT d.*, v.nv FROM doc d JOIN nv v ON v.vec_id = d.id),
+    pairs AS (
+      SELECT a.block_id, a.id AS id_a, b.id AS id_b,
+             list_reduce(list_transform(range(1, {_EMB_DIM} + 1),
+                         i -> a.nv[i] * b.nv[i]), (x, y) -> x + y) AS esim,
+             len(list_filter(a.ngset, x -> list_contains(b.ngset, x))) AS inter,
+             len(a.ngset) + len(b.ngset) AS ntot
+      FROM base a JOIN base b
+        ON a.block_id = b.block_id AND a.id < b.id
+        AND NOT (a.short AND b.short AND a.fp = b.fp)),
+    sims AS (
+      SELECT block_id, id_a, id_b, esim,
+             CASE WHEN (ntot - inter) > 0
+                  THEN cast(inter as double) / cast(ntot - inter as double)
+                  ELSE 0.0 END AS nsim
+      FROM pairs),
+    comb AS (SELECT *, (esim + nsim) / 2.0 AS comb FROM sims)
+    SELECT block_id, id_a, id_b,
+           round(esim, 4) AS embedding_sim,
+           round(nsim, 4) AS ngram_sim,
+           round(comb, 4) AS combined_sim,
+           CASE WHEN comb >= {t1} THEN 'tier1'
+                WHEN comb >= {t2} THEN 'tier2'
+                WHEN comb >= {t3} THEN 'tier3' END AS tier,
+           comb > {dup} AS is_duplicate
+    FROM comb WHERE comb >= {t3}
+    ORDER BY block_id, id_a, id_b
+    """
+
+
+@_register(
+    "combined_similar_pairs",
+    oracle=_combined_sql(100, 0.98, 0.92, 0.85, 0.92),
+)
+def combined_similar_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: reference-exact combined similarity (embed cosine + ngram
+    Jaccard) / 2 with the reference tier elif chain (config.py:19-23)
+    and the strict-> dup threshold (config.py:11). Synthetic embeddings
+    are uncorrelated with text, so this is 0 rows on testdata; the
+    low-threshold twin below and tests/test_blocked_similarity.py
+    exercise non-empty tiers."""
+    from reviews_quality_check_spark.operators.similarity_blocked import (
+        combined_similar_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return combined_similar_pairs(d, e, block_size=100).orderBy(
+        "block_id", "id_a", "id_b"
+    )
+
+
+@_register(
+    "combined_similar_pairs_low",
+    oracle=_combined_sql(100, 0.9, 0.8, 0.5, 0.92),
+)
+def combined_similar_pairs_low_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 at lowered tier thresholds (0.9/0.8/0.5) — same operator and
+    elif semantics, tuned to yield non-empty results on the synthetic
+    tables so the driver hash-checks real similarity values."""
+    from reviews_quality_check_spark.operators.similarity_blocked import (
+        combined_similar_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return combined_similar_pairs(
+        d, e, block_size=100, tiers=(0.9, 0.8, 0.5)
+    ).orderBy("block_id", "id_a", "id_b")
 
 
 @_register("sentiment_eval_metrics")
