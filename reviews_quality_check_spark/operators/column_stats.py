@@ -99,5 +99,9 @@ def histogram(
         return counts.withColumn(
             "ratio", F.col("cnt").cast("double") / F.sum("cnt").over(w)
         )
-    total = counts.agg(F.sum("cnt")).collect()[0][0]
-    return counts.withColumn("ratio", F.col("cnt").cast("double") / F.lit(float(total)))
+    # lazy global total: broadcast a 1-row aggregate instead of a driver
+    # collect, so the operator stays composable inside one suite plan
+    total = counts.agg(F.sum("cnt").cast("double").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).withColumn(
+        "ratio", F.col("cnt").cast("double") / F.col("__total")
+    ).drop("__total")

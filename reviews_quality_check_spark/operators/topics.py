@@ -124,3 +124,192 @@ def topics_summary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         for rank, (term, w) in enumerate(zip(t["terms"], t["weights"]), 1):
             rows.append((t["topic_id"], rank, term, float(w)))
     return spark.createDataFrame(rows, "topic_id int, rank int, term string, weight double")
+
+
+# ---------------------------------------------------------------------------
+# B6: gensim-Phrases bigram scoring + greedy merge (topic.py:134-143)
+# ---------------------------------------------------------------------------
+
+
+def phrase_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    threshold: float = 100.0,
+) -> DataFrame:
+    """Bigram phrase scores with gensim Phrases' original_scorer
+    (reference topic.py:140: Phrases(texts, min_count=5, threshold=100)):
+
+        score(a, b) = (count(ab) - min_count) / count(a) / count(b) * |V|
+
+    over stopword-filtered token streams; a bigram is ``merged`` when
+    score > threshold AND count(ab) >= min_count. Pure counting
+    aggregations — no UDF, fully SQL-mirrorable.
+
+    Output: (word_a, word_b, pair_count, score, merged) for bigrams with
+    pair_count >= min_count."""
+    toks = _token_df(df, text_col, id_col)
+    uni = (
+        toks.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab_n = uni.select(F.count(F.lit(1)).alias("v"))
+    big = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tokens"), 1, F.greatest(F.size("tokens") - 1, F.lit(0))),
+                    F.slice(F.col("tokens"), 2, F.greatest(F.size("tokens") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.wa").alias("word_a"), F.col("p.wb").alias("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    ua = uni.select(F.col("w").alias("word_a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("word_b"), F.col("c").alias("cb"))
+    score = (
+        (F.col("pair_count") - F.lit(min_count)).cast("double")
+        / F.col("ca")
+        / F.col("cb")
+        * F.col("v")
+    )
+    return (
+        big.join(ua, "word_a")
+        .join(ub, "word_b")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "word_a",
+            "word_b",
+            "pair_count",
+            score.alias("score"),
+            (score > threshold).alias("merged"),
+        )
+    )
+
+
+def merge_phrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    threshold: float = 100.0,
+    delimiter: str = "_",
+) -> DataFrame:
+    """Apply the Phraser transform: greedy left-to-right single-pass
+    merge of scoring bigrams into 'a_b' tokens (gensim Phraser
+    semantics: a token consumed by a merge cannot start the next one).
+
+    The phrase table (bounded: bigrams passing min_count+threshold) is
+    collected to the driver and inlined as a literal array — the same
+    model-materialization step as gensim's Phraser(bigram) / the IVF
+    centroid collect; the transform itself is a pure fold expression.
+
+    Output: (doc_id, tokens) with merged token arrays."""
+    merged_rows = (
+        phrase_scores(df, text_col, id_col, min_count, threshold)
+        .filter("merged")
+        .select(F.concat_ws(delimiter, "word_a", "word_b").alias("m"))
+        .collect()
+    )
+    phrase_set = F.array(*[F.lit(r["m"]) for r in merged_rows]) if merged_rows else F.array().cast("array<string>")
+
+    toks = _token_df(df, text_col, id_col)
+
+    def step(acc, t):
+        cand = F.concat_ws(delimiter, acc.getField("prev"), t)
+        can_merge = ~acc.getField("prev").isNull() & F.array_contains(phrase_set, cand)
+        return F.struct(
+            F.when(can_merge, F.concat(acc.getField("out"), F.array(cand)))
+            .when(acc.getField("prev").isNull(), acc.getField("out"))
+            .otherwise(F.concat(acc.getField("out"), F.array(acc.getField("prev"))))
+            .alias("out"),
+            F.when(can_merge, F.lit(None).cast("string")).otherwise(t).alias("prev"),
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    folded = F.aggregate(
+        F.col("tokens"),
+        init,
+        step,
+        lambda acc: F.when(
+            acc.getField("prev").isNull(), acc.getField("out")
+        ).otherwise(F.concat(acc.getField("out"), F.array(acc.getField("prev")))),
+    )
+    return toks.select("doc_id", folded.alias("tokens"))
+
+
+# ---------------------------------------------------------------------------
+# B5: u_mass coherence as a closed-form doc-frequency aggregation
+# (reference topic.py:253-273 via gensim CoherenceModel(coherence='u_mass'))
+# ---------------------------------------------------------------------------
+
+
+def umass_coherence(
+    tok_df: DataFrame,
+    top_words: DataFrame,
+) -> DataFrame:
+    """u_mass topic coherence, no UDF: for a ranked word list per topic,
+    mean over ordered pairs (w_i lower-ranked, w_j higher-ranked) of
+    log((D(w_i, w_j) + 1) / D(w_j)), D = document frequencies.
+
+    ``tok_df``: (doc_id, tokens array<string>). ``top_words``: (topic_id,
+    rank, word) — rank 1 = highest. Missing co-occurrences count as
+    D=0 (score log(1/D(w_j))), exactly gensim's s_one_pre segmentation.
+
+    Cross-engine determinism: per-pair round(6) before the exact decimal
+    sum, one double division, +1e-9 nudge, round(4) — the _avg4 pattern.
+
+    Output: (topic_id, n_pairs, u_mass)."""
+    hits = (
+        tok_df.select("doc_id", F.explode(F.array_distinct("tokens")).alias("word"))
+        .join(F.broadcast(top_words), "word")
+        .select("topic_id", "rank", "word", "doc_id")
+    )
+    dfreq = hits.groupBy("topic_id", "rank", "word").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    a = hits.select("topic_id", F.col("rank").alias("ri"), F.col("word").alias("wi"), "doc_id")
+    b = hits.select("topic_id", F.col("rank").alias("rj"), F.col("word").alias("wj"), "doc_id")
+    co = (
+        a.join(b, ["topic_id", "doc_id"])
+        .filter(F.col("ri") > F.col("rj"))
+        .groupBy("topic_id", "ri", "rj")
+        .agg(F.count(F.lit(1)).alias("dij"))
+    )
+    # full ordered-pair grid so zero-co-occurrence pairs score log(1/D(wj))
+    ta = top_words.select("topic_id", F.col("rank").alias("ri"))
+    tb = top_words.select("topic_id", F.col("rank").alias("rj"), F.col("word").alias("wj"))
+    grid = (
+        ta.join(tb, "topic_id")
+        .filter(F.col("ri") > F.col("rj"))
+        .join(co, ["topic_id", "ri", "rj"], "left")
+        .join(
+            dfreq.select("topic_id", F.col("rank").alias("rj"), F.col("d").alias("dj")),
+            ["topic_id", "rj"],
+        )
+    )
+    pair_score = F.log(
+        (F.coalesce(F.col("dij"), F.lit(0)) + F.lit(1)).cast("double")
+        / F.col("dj").cast("double")
+    )
+    return (
+        grid.groupBy("topic_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.round(pair_score, 6).cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(1e-9),
+                4,
+            ).alias("u_mass"),
+        )
+    )

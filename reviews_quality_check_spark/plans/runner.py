@@ -264,8 +264,18 @@ class SuiteRunner:
             .partitionBy("partition_id")
             .parquet(self._path("verdicts"))
         )
+        # Deterministic per-(partition, check) cap: a global limit() would
+        # let one high-volume check evict every other check's rows, and the
+        # retained subset would vary across partitionings and between
+        # one-shot and resumed runs. row_number over row_key pins the
+        # retained set.
+        from pyspark.sql.window import Window
+
+        capw = Window.partitionBy("partition_id", "check_name").orderBy("row_key")
         (
-            violations.limit(self.cap * max(len(self.suite.row_checks), 1))
+            violations.withColumn("__rn", F.row_number().over(capw))
+            .filter(F.col("__rn") <= self.cap)
+            .drop("__rn")
             .repartition("partition_id")
             .write.mode("overwrite")
             .partitionBy("partition_id")

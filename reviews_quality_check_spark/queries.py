@@ -88,9 +88,12 @@ def sql_tokens(col: str) -> str:
 
 
 def sql_sentence_count(col: str) -> str:
+    # regexp_matches('\S'), not trim() != '': DuckDB trim only strips
+    # spaces, so a tab/newline-only fragment would count as a sentence
+    # here while the Spark side (rlike '\S') drops it
     return (
-        f"len(list_filter(list_transform(string_split_regex({col}, '[.!?]+'),"
-        f" s -> trim(s)), s -> s != ''))"
+        f"len(list_filter(string_split_regex({col}, '[.!?]+'),"
+        f" s -> regexp_matches(s, '\\S')))"
     )
 
 
@@ -1604,16 +1607,128 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("lda_topics")  # distributed LDA: rows-only check (not SQL-expressible)
 def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-4 terms per topic from seeded distributed LDA over documents
-    (reference gensim pipeline topic.py:219-251 → pyspark.ml LDA)."""
-    from reviews_quality_check_spark.operators.topics import topics_summary
+    (reference gensim pipeline topic.py:219-251 → pyspark.ml LDA), plus
+    the per-topic u_mass coherence the reference reports
+    (topic.py:253-273) computed closed-form over doc frequencies."""
+    from reviews_quality_check_spark.operators.topics import (
+        _token_df,
+        topics_summary,
+        umass_coherence,
+    )
 
     d = _t(spark, sf_dir, "documents")
     # synthetic corpus shares a small vocabulary across most docs, so
     # relax the dictionary-extremes filter (reference topic.py:187-199)
     # NB CountVectorizer treats minDF/maxDF >= 1.0 as ABSOLUTE doc counts
-    return topics_summary(d, k=4, top_n=4, min_df=1.0, max_df=1e9).orderBy(
-        "topic_id", "rank"
+    terms = topics_summary(d, k=4, top_n=4, min_df=1.0, max_df=1e9)
+    top_words = terms.select("topic_id", "rank", F.col("term").alias("word"))
+    um = umass_coherence(_token_df(d, "text", "doc_id"), top_words)
+    return (
+        terms.join(um.select("topic_id", "u_mass"), "topic_id", "left")
+        .orderBy("topic_id", "rank")
     )
+
+
+def _sql_topic_tokens() -> str:
+    """Stopword-filtered token arrays with the >=3-token gate — the SQL
+    twin of operators.topics._token_df."""
+    from reviews_quality_check_spark.functions.quality import STOPWORDS
+
+    stops = _sql_list(sorted(STOPWORDS))
+    return (
+        f"SELECT doc_id, list_filter({sql_tokens('text')},"
+        f" t -> NOT list_contains({stops}, t)) AS toks FROM documents"
+    )
+
+
+@_register(
+    "phrase_bigram_scores",
+    oracle=f"""
+    WITH tok AS ({_sql_topic_tokens()}),
+    tok2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
+    uni AS (SELECT w, count(*) AS c
+            FROM (SELECT unnest(toks) AS w FROM tok2) GROUP BY w),
+    v AS (SELECT count(*) AS v FROM uni),
+    big AS (
+      SELECT wa AS word_a, wb AS word_b, count(*) AS pair_count
+      FROM (
+        SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS wa,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS wb
+        FROM tok2)
+      GROUP BY 1, 2 HAVING count(*) >= 5),
+    scored AS (
+      SELECT word_a, word_b, pair_count,
+             cast(pair_count - 5 as double) / ua.c / ub.c * v.v AS score
+      FROM big
+      JOIN uni ua ON ua.w = word_a
+      JOIN uni ub ON ub.w = word_b
+      CROSS JOIN v)
+    SELECT word_a, word_b, pair_count, round(score, 6) AS score,
+           score > 100.0 AS merged
+    FROM scored ORDER BY word_a, word_b
+    """,
+)
+def phrase_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 gensim-Phrases bigram scoring (original_scorer, min_count=5,
+    threshold=100 — reference topic.py:140) as pure counting aggregates."""
+    from reviews_quality_check_spark.operators.topics import phrase_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = phrase_scores(d, "text", "doc_id", min_count=5, threshold=100.0)
+    return out.select(
+        "word_a", "word_b", "pair_count",
+        F.round("score", 6).alias("score"), "merged",
+    ).orderBy("word_a", "word_b")
+
+
+@_register(
+    "umass_top_words",
+    oracle=f"""
+    WITH tok AS ({_sql_topic_tokens()}),
+    tok2 AS (SELECT doc_id, list_distinct(toks) AS toks FROM tok WHERE len(toks) >= 3),
+    hits AS (SELECT doc_id, unnest(toks) AS word FROM tok2),
+    dfreq AS (SELECT word, count(*) AS d FROM hits GROUP BY word),
+    top AS (SELECT word, d, cast(rn as int) AS rank FROM (
+              SELECT word, d, row_number() OVER (ORDER BY d DESC, word ASC) AS rn
+              FROM dfreq) WHERE rn <= 10),
+    thits AS (SELECT h.doc_id, t.word, t.rank FROM hits h JOIN top t USING (word)),
+    co AS (SELECT a.rank AS ri, b.rank AS rj, count(*) AS dij
+           FROM thits a JOIN thits b ON a.doc_id = b.doc_id AND a.rank > b.rank
+           GROUP BY 1, 2),
+    grid AS (SELECT a.rank AS ri, b.rank AS rj, b.d AS dj
+             FROM top a JOIN top b ON a.rank > b.rank),
+    scored AS (
+      SELECT round(ln(cast(coalesce(c.dij, 0) + 1 as double) / cast(g.dj as double)), 6) AS s
+      FROM grid g LEFT JOIN co c ON c.ri = g.ri AND c.rj = g.rj)
+    SELECT cast(0 as int) AS topic_id, count(*) AS n_pairs,
+           round(cast(sum(cast(s as decimal(28,10))) as double) / count(*) + 1e-9, 4) AS u_mass
+    FROM scored
+    """,
+)
+def umass_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 u_mass coherence (reference topic.py:253-273) as a closed-form
+    doc-frequency aggregation over a deterministic 'topic': the 10 most
+    document-frequent non-stopword tokens (ties broken by word). No UDF,
+    fully SQL-mirrored — the gensim formula per ordered pair is
+    log((D(wi,wj)+1)/D(wj))."""
+    from pyspark.sql.window import Window
+
+    from reviews_quality_check_spark.operators.topics import _token_df, umass_coherence
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _token_df(d, "text", "doc_id")
+    dfreq = (
+        toks.select(F.explode(F.array_distinct("tokens")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    w = Window.orderBy(F.desc("d"), F.asc("word"))
+    top = (
+        dfreq.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(F.lit(0).cast("int").alias("topic_id"), "rank", "word")
+    )
+    return umass_coherence(toks, top)
 
 
 _PIPELINE_N = 10_000

@@ -61,3 +61,45 @@ def test_min_token_gate(spark):
 
     kept = _token_df(df, "text", "doc_id").select("doc_id").collect()
     assert [r["doc_id"] for r in kept] == [3]  # <3 lemmas dropped (topic.py:175)
+
+
+def test_umass_hand_computed(spark):
+    """u_mass vs a by-hand fixture: D(a)=4, D(b)=2, D(c)=2; pairs
+    (b,a)->log(3/4), (c,a)->log(3/4), (c,b)->log(2/2)=0."""
+    import math
+
+    from reviews_quality_check_spark.operators.topics import umass_coherence
+
+    tok = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b", "c"]), (3, ["a", "c"]), (4, ["a"])],
+        "doc_id long, tokens array<string>",
+    )
+    top = spark.createDataFrame(
+        [(0, 1, "a"), (0, 2, "b"), (0, 3, "c")], "topic_id int, rank int, word string"
+    )
+    row = umass_coherence(tok, top).collect()[0]
+    want = (2 * round(math.log(3 / 4), 6) + 0.0) / 3 + 1e-9
+    assert row["n_pairs"] == 3
+    assert row["u_mass"] == round(want, 4)
+
+
+def test_phrase_merge_greedy_and_vocab_change(spark):
+    """Phraser greedy left-to-right: a token consumed by a merge cannot
+    start the next merge; merged tokens enter the downstream vocabulary."""
+    from pyspark.ml.feature import CountVectorizer
+
+    from reviews_quality_check_spark.operators.topics import merge_phrases, phrase_scores
+
+    docs = spark.createDataFrame(
+        [(i, "xx yy zz") for i in range(6)], "doc_id long, text string"
+    )
+    scores = {
+        (r["word_a"], r["word_b"]): r["merged"]
+        for r in phrase_scores(docs, min_count=1, threshold=0.1).collect()
+    }
+    assert scores[("xx", "yy")] and scores[("yy", "zz")]
+    merged = merge_phrases(docs, min_count=1, threshold=0.1)
+    toks = merged.orderBy("doc_id").collect()[0]["tokens"]
+    assert toks == ["xx_yy", "zz"]  # yy consumed; (yy, zz) cannot fire
+    cv = CountVectorizer(inputCol="tokens", outputCol="f").fit(merged)
+    assert "xx_yy" in cv.vocabulary and "yy" not in cv.vocabulary
