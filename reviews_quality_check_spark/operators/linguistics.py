@@ -54,40 +54,149 @@ def sentence_flow(col: Column | str) -> Column:
 
 
 def linguistic_quality(col: Column | str) -> Column:
-    """Combined linguistic quality in [0,1]: 0.7*(flesch/100) + 0.3*flow
-    (the analyze_quality weighting shape, engine-canonical weights)."""
+    """Combined linguistic quality in [0,1]: mean of readability
+    (flesch/100), flow, and grammar score — the analyze_quality
+    mean-of-scores shape (linguistics.py:319-327). The reference also
+    averages spaCy structure/vocabulary scores; those need a dependency
+    parser not present here and are documented out (SURVEY §2.8)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
+    grammar = F.when(words <= 0, F.lit(1.0)).otherwise(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                F.lit(1.0) - grammar_issue_count(c).cast("double") / words.cast("double"),
+            ),
+        )
+    )
     return (
-        F.lit(0.7) * (flesch_reading_ease_fast(col) / 100.0)
-        + F.lit(0.3) * sentence_flow(col)
+        (flesch_reading_ease_fast(col) / 100.0) + sentence_flow(col) + grammar
+    ) / F.lit(3.0)
+
+
+# ---------------------------------------------------------------------------
+# F28 grammar checks via a deterministic mini POS tagger
+# (reference linguistics.py:293-327: TextBlob tags driving three rules —
+#  NN+VBP, NNS+VBZ subject-verb agreement, 'a'-before-vowel article use).
+# The tagger is a suffix/lexicon heuristic sufficient for those three
+# adjacency rules — NOT a general tagger — and is pure Column
+# expressions, so the whole check is JVM-side and SQL-mirrorable.
+# ---------------------------------------------------------------------------
+
+# closed-class words that are neither nouns nor present-tense verbs for
+# the purposes of the three rules
+GRAMMAR_DT = ("a", "an", "the")
+GRAMMAR_CLOSED = (
+    "i", "you", "he", "she", "it", "we", "they", "me", "him", "us", "them",
+    "my", "your", "his", "her", "its", "our", "their", "this", "that",
+    "these", "those", "there", "here", "what", "which", "who", "whom",
+    "whose", "when", "where", "why", "how", "in", "on", "at", "by", "for",
+    "with", "from", "of", "to", "as", "into", "over", "under", "about",
+    "after", "before", "between", "and", "or", "but", "if", "then", "than",
+    "so", "because", "while", "is", "are", "was", "were", "be", "been",
+    "being", "am", "has", "have", "had", "do", "does", "did", "will",
+    "would", "can", "could", "should", "may", "might", "must", "not", "no",
+    "yes", "very", "really", "quite", "too", "also", "just", "only",
+    "more", "most", "less", "least", "never", "always", "often", "well",
+)
+# small common-verb lexicon: base form tags VBP, base+s/es tags VBZ
+GRAMMAR_VERB_STEMS = (
+    "work", "run", "make", "take", "go", "get", "seem", "look", "feel",
+    "perform", "last", "come", "give", "use", "find", "tell", "ask",
+    "try", "call", "need", "want", "mean", "keep", "let", "begin",
+    "help", "talk", "turn", "start", "show", "hear", "play", "move",
+    "like", "live", "believe", "hold", "bring", "happen", "write",
+    "provide", "sit", "stand", "lose", "pay", "meet", "include",
+    "continue", "set", "learn", "change", "lead", "understand", "watch",
+    "follow", "stop", "create", "speak", "read", "allow", "add", "spend",
+    "grow", "open", "walk", "win", "offer", "remember", "love",
+    "consider", "appear", "buy", "wait", "serve", "send", "expect",
+    "build", "stay", "fall", "cut", "reach", "remain", "suggest",
+    "raise", "pass", "sell", "require", "report", "decide", "pull",
+    "break", "fail", "crash", "charge",
+)
+
+_P_WORD = r"[a-z]+"
+
+
+def _lit_arr(words: tuple[str, ...]) -> Column:
+    return F.array(*[F.lit(w) for w in words])
+
+
+def _mini_tag(w: Column) -> Column:
+    """Tag one lowercase word: DT | OTHER | VBP | VBZ | NNS | NN."""
+    stems = _lit_arr(GRAMMAR_VERB_STEMS)
+    stem_s = F.substring(w, F.lit(1), F.length(w) - 1)   # runs -> run
+    stem_es = F.substring(w, F.lit(1), F.length(w) - 2)  # goes -> go
+    return (
+        F.when(F.array_contains(_lit_arr(GRAMMAR_DT), w), F.lit("DT"))
+        .when(F.array_contains(_lit_arr(GRAMMAR_CLOSED), w), F.lit("OTHER"))
+        .when(F.array_contains(stems, w), F.lit("VBP"))
+        .when(
+            w.endswith("s")
+            & (F.array_contains(stems, stem_s) | F.array_contains(stems, stem_es)),
+            F.lit("VBZ"),
+        )
+        .when(w.endswith("ss"), F.lit("NN"))
+        .when(w.endswith("s"), F.lit("NNS"))
+        .otherwise(F.lit("NN"))
     )
 
 
+def grammar_issue_count(col: Column | str) -> Column:
+    """Total issue count over the text: per sentence, adjacent-pair
+    subject-verb agreement (NN+VBP / NNS+VBZ) plus 'a'-before-vowel —
+    the reference's three TextBlob rules (linguistics.py:304-326)."""
+    sents = sentences_with_punct(col)
+
+    def sent_issues(s: Column) -> Column:
+        toks = F.regexp_extract_all(F.lower(s), F.lit(_P_WORD), 0)
+        n = F.size(toks)
+        pair_flags = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: (
+                (
+                    ((_mini_tag(F.element_at(toks, i)) == "NN")
+                     & (_mini_tag(F.element_at(toks, i + 1)) == "VBP"))
+                    | ((_mini_tag(F.element_at(toks, i)) == "NNS")
+                       & (_mini_tag(F.element_at(toks, i + 1)) == "VBZ"))
+                ).cast("int")
+                + (
+                    (F.element_at(toks, i) == "a")
+                    & F.element_at(toks, i + 1).rlike("^[aeiou]")
+                ).cast("int")
+            ),
+        )
+        total = F.aggregate(pair_flags, F.lit(0), lambda a, x: a + x)
+        return F.when(n < 2, F.lit(0)).otherwise(total)
+
+    per_sent = F.transform(sents, sent_issues)
+    return F.aggregate(per_sent, F.lit(0), lambda a, x: a + x)
+
+
 def grammar_checks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """F28 POS-adjacency grammar checks. Requires a POS tagger (spaCy /
-    TextBlob), not available here — the mapInPandas plumbing is real,
-    the tagger call raises NotImplementedError.
-    """
-    import pandas as pd
-
-    try:
-        import spacy  # noqa: F401
-
-        have_tagger = True
-    except ImportError:
-        have_tagger = False
-
-    schema = "doc_id long, grammar_issues int, grammar_score double"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not have_tagger:
-            raise NotImplementedError(
-                "grammar checks need a POS tagger (spaCy/TextBlob); not "
-                "installed in this environment — reference "
-                "linguistics.py:293-327"
-            )
-        for pdf in batches:  # pragma: no cover - requires spaCy
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "grammar_issues": 0, "grammar_score": 1.0}
-            )
-
-    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+    """F28 grammar checks: (doc_id, grammar_issues, grammar_score) with
+    score = clamp(1 - issues / whitespace_word_count, 0, 1)
+    (linguistics.py:321-323); 1.0 for blank text (the analyze_quality
+    early-return default). Pure expressions — no Python in the plan."""
+    # stage text behind an exchange so the sentence/token subtrees feed
+    # both the issue count and the word count without re-derivation
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    ).repartition(F.col("doc_id"))
+    issues_s = grammar_issue_count(F.col("__t"))
+    words_s = F.size(F.regexp_extract_all(F.col("__t"), F.lit(r"\S+"), 0))
+    score_s = F.when(words_s <= 0, F.lit(1.0)).otherwise(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0), F.lit(1.0) - issues_s.cast("double") / words_s.cast("double")
+            ),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        issues_s.cast("int").alias("grammar_issues"),
+        score_s.alias("grammar_score"),
+    )

@@ -700,6 +700,14 @@ def _sql_words(col: str) -> str:
     )
 
 
+# sentences incl. trailing terminator run — twin of
+# operators.linguistics.sentences_with_punct
+_SQL_SENTS = (
+    "list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),"
+    " s -> trim(s)), s -> regexp_matches(s, '\\S'))"
+)
+
+
 def _sql_simset(col: str) -> str:
     """DuckDB version of the reference similarity n-gram set (word +
     char-3grams + word-3grams) over whitespace words of normalized text."""
@@ -2045,6 +2053,176 @@ ORACLES["sentiment_eval_metrics"] = f"""
 """
 
 
+def _sql_f1_grouped(cls: str) -> str:
+    tp = f"sum(case when labeled='{cls}' and predicted='{cls}' then 1 else 0 end)"
+    fp = f"sum(case when labeled<>'{cls}' and predicted='{cls}' then 1 else 0 end)"
+    fn = f"sum(case when labeled='{cls}' and predicted<>'{cls}' then 1 else 0 end)"
+    return (
+        f"round(case when (2*{tp} + {fp} + {fn}) > 0"
+        f" then 2.0*{tp} / (2*{tp} + {fp} + {fn}) + 1e-9"
+        f" else 0.0 end, 4)"
+    )
+
+
+@_register(
+    "multi_model_eval",
+    oracle=f"""
+    WITH chain AS ({_sentiment_sql().replace("round(confidence, 4) AS confidence", "confidence")}),
+    feat AS (
+      SELECT doc_id,
+             {_sql_count_tokens(sql_tokens('text'), SR.SURROGATE_POSITIVE)} AS pos,
+             {_sql_count_tokens(sql_tokens('text'), SR.SURROGATE_NEGATIVE)} AS neg
+      FROM documents),
+    preds AS (
+      SELECT c.doc_id, c.labeled, 'surrogate_base' AS model_name,
+             CASE WHEN f.pos > f.neg THEN 'positive'
+                  WHEN f.neg > f.pos THEN 'negative' ELSE 'neutral' END AS predicted
+      FROM feat f JOIN chain c USING (doc_id)
+      UNION ALL
+      SELECT doc_id, labeled, 'surrogate_chain', predicted FROM chain
+      UNION ALL
+      SELECT c.doc_id, c.labeled, 'surrogate_margin2',
+             CASE WHEN f.pos - f.neg >= 2 THEN 'positive'
+                  WHEN f.neg - f.pos >= 2 THEN 'negative' ELSE 'neutral' END
+      FROM feat f JOIN chain c USING (doc_id)),
+    agg AS (
+      SELECT model_name,
+             round(avg(case when labeled = predicted then 1.0 else 0.0 end) + 1e-9, 4) AS accuracy,
+             {_sql_f1_grouped('positive')} AS f1_positive,
+             {_sql_f1_grouped('negative')} AS f1_negative,
+             {_sql_f1_grouped('neutral')} AS f1_neutral
+      FROM preds GROUP BY model_name)
+    SELECT model_name, accuracy, f1_positive, f1_negative, f1_neutral,
+           round((f1_positive + f1_negative + f1_neutral) / 3.0 + 1e-9, 4) AS macro_f1
+    FROM agg ORDER BY model_name
+    """,
+)
+def multi_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-as-dimension evaluation harness (multi_model_sentiment_eval
+    .py:24-28,107-108): N model checkpoints scored against the same gold
+    labels, one accuracy + macro-F1 row per model. HF checkpoints are
+    not in this container, so the model table is three deterministic
+    surrogate variants (raw keyword sign, the full validation chain,
+    a margin-2 conservative scorer); swapping in pandas-UDF HF scorers
+    keeps the same plan shape. One pass over the corpus: all model
+    predictions are computed per row and exploded as a (model_name,
+    predicted) dimension before the grouped metric aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    labeled = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("positive"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+    base = d.select(
+        "doc_id", "text", labeled.alias("labeled"), F.lit("technology").alias("domain")
+    ).withColumns({"__tl": F.lower(F.col("text")), "__tok": TX.tokens("text")})
+    cols = SR.validate_sentiment_columns(
+        F.col("text"), F.col("labeled"), F.col("domain"),
+        text_lower=F.col("__tl"), tok=F.col("__tok"),
+    )
+    pos = SR._token_hits(F.col("__tok"), SR.SURROGATE_POSITIVE)
+    neg = SR._token_hits(F.col("__tok"), SR.SURROGATE_NEGATIVE)
+    pred_base = (
+        F.when(pos > neg, F.lit("positive"))
+        .when(neg > pos, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+    pred_margin2 = (
+        F.when(pos - neg >= 2, F.lit("positive"))
+        .when(neg - pos >= 2, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+    v = base.withColumns(cols).select(
+        "labeled",
+        F.explode(
+            F.array(
+                F.struct(F.lit("surrogate_base").alias("model_name"), pred_base.alias("predicted")),
+                F.struct(F.lit("surrogate_chain").alias("model_name"), F.col("predicted").alias("predicted")),
+                F.struct(F.lit("surrogate_margin2").alias("model_name"), pred_margin2.alias("predicted")),
+            )
+        ).alias("m"),
+    ).select("labeled", F.col("m.model_name").alias("model_name"), F.col("m.predicted").alias("predicted"))
+    classes = ["positive", "negative", "neutral"]
+    aggs = [
+        F.round(F.avg((F.col("labeled") == F.col("predicted")).cast("double")) + 1e-9, 4).alias("accuracy")
+    ]
+    f1_cols = []
+    for c in classes:
+        tp = F.sum(((F.col("labeled") == c) & (F.col("predicted") == c)).cast("long"))
+        fp = F.sum(((F.col("labeled") != c) & (F.col("predicted") == c)).cast("long"))
+        fn = F.sum(((F.col("labeled") == c) & (F.col("predicted") != c)).cast("long"))
+        f1 = F.when(
+            (2 * tp + fp + fn) > 0,
+            (2.0 * tp.cast("double")) / (2 * tp + fp + fn).cast("double") + F.lit(1e-9),
+        ).otherwise(F.lit(0.0))
+        aggs.append(F.round(f1, 4).alias(f"f1_{c}"))
+        f1_cols.append(f"f1_{c}")
+    out = v.groupBy("model_name").agg(*aggs)
+    macro = F.round(
+        sum(F.col(c) for c in f1_cols) / F.lit(float(len(classes))) + 1e-9, 4
+    ).alias("macro_f1")
+    return out.select("model_name", "accuracy", *f1_cols, macro).orderBy("model_name")
+
+
+def _grammar_oracle() -> str:
+    from reviews_quality_check_spark.operators.linguistics import (
+        GRAMMAR_CLOSED,
+        GRAMMAR_DT,
+        GRAMMAR_VERB_STEMS,
+    )
+
+    stems = _sql_list(GRAMMAR_VERB_STEMS)
+
+    def tag(w: str) -> str:
+        return f"""CASE
+          WHEN list_contains({_sql_list(GRAMMAR_DT)}, {w}) THEN 'DT'
+          WHEN list_contains({_sql_list(GRAMMAR_CLOSED)}, {w}) THEN 'OTHER'
+          WHEN list_contains({stems}, {w}) THEN 'VBP'
+          WHEN {w} LIKE '%s' AND (list_contains({stems}, substring({w}, 1, len({w}) - 1))
+                                  OR list_contains({stems}, substring({w}, 1, len({w}) - 2))) THEN 'VBZ'
+          WHEN {w} LIKE '%ss' THEN 'NN'
+          WHEN {w} LIKE '%s' THEN 'NNS'
+          ELSE 'NN' END"""
+
+    sent_issues = f"""(
+      CASE WHEN len(tk) < 2 THEN 0 ELSE list_sum(list_transform(range(1, len(tk)),
+        i -> (CASE WHEN (({tag('tk[i]')}) = 'NN' AND ({tag('tk[i+1]')}) = 'VBP')
+                     OR (({tag('tk[i]')}) = 'NNS' AND ({tag('tk[i+1]')}) = 'VBZ')
+                   THEN 1 ELSE 0 END)
+             + (CASE WHEN tk[i] = 'a' AND regexp_matches(tk[i+1], '^[aeiou]')
+                     THEN 1 ELSE 0 END))) END)"""
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text, {_SQL_SENTS} AS sents FROM documents),
+    st AS (
+      SELECT doc_id, text,
+             list_transform(sents, x -> regexp_extract_all(lower(x), '[a-z]+')) AS sent_toks
+      FROM s),
+    iss AS (
+      SELECT doc_id,
+             cast(coalesce(list_sum(list_transform(sent_toks, tk -> {sent_issues})), 0) as int) AS grammar_issues,
+             len(regexp_extract_all(text, '\\S+')) AS words
+      FROM st)
+    SELECT doc_id, grammar_issues,
+           CASE WHEN words <= 0 THEN cast(1.0 as double)
+                ELSE greatest(cast(0.0 as double), least(cast(1.0 as double),
+                     cast(1.0 as double) - cast(grammar_issues as double) / cast(words as double)))
+           END AS grammar_score
+    FROM iss ORDER BY doc_id
+    """
+
+
+@_register("grammar_checks_docs", oracle=_grammar_oracle())
+def grammar_checks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F28 grammar checks (linguistics.py:293-327) via the deterministic
+    mini POS tagger — NN+VBP / NNS+VBZ agreement + a-before-vowel, score
+    = clamp(1 - issues/words). Pure Column expressions, SQL-mirrored."""
+    from reviews_quality_check_spark.operators.linguistics import grammar_checks
+
+    d = _t(spark, sf_dir, "documents")
+    return grammar_checks(d).orderBy("doc_id")
+
+
 @_register("sanitized_preview")  # NFKD not expressible in DuckDB: rows-only
 def sanitized_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched sanitize UDF over documents (the byte-identical
@@ -2053,12 +2231,6 @@ def sanitized_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", sanitized_text("text").alias("sanitized")).orderBy("doc_id")
-
-
-_SQL_SENTS = (
-    "list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),"
-    " s -> trim(s)), s -> regexp_matches(s, '\\S'))"
-)
 
 
 @_register(

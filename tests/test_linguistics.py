@@ -76,7 +76,34 @@ def test_scorer_udf_matches_expression_surrogate(spark):
         assert r["udf"]["confidence"] == pytest.approx(r["expr_conf"], abs=1e-12)
 
 
-def test_grammar_checks_stubbed(spark):
+def test_grammar_checks_runs_without_tagger_libs(spark):
+    """F28 no longer needs spaCy/TextBlob: the mini-tagger is pure
+    Column expressions."""
     df = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
-    with pytest.raises(Exception, match="NotImplementedError|POS tagger"):
-        grammar_checks(df).collect()
+    rows = grammar_checks(df).collect()
+    assert rows[0]["grammar_issues"] == 0 and rows[0]["grammar_score"] == 1.0
+
+
+def test_grammar_rules_fixture(spark):
+    """The three reference rules (linguistics.py:304-326) on hand-built
+    sentences: NN+VBP, NNS+VBZ agreement, a-before-vowel."""
+    from reviews_quality_check_spark.operators.linguistics import grammar_checks
+
+    rows = [
+        (1, "The device work."),            # device(NN) work(VBP) -> 1
+        (2, "The devices works."),          # devices(NNS) works(VBZ) -> 1
+        (3, "I bought a orange device."),   # a + orange -> 1
+        (4, "The device works."),           # NN + VBZ -> fine
+        (5, "An ordinary purchase."),       # clean
+        (6, ""),                            # blank -> 0 issues, score 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in grammar_checks(df).collect()}
+    assert got[1]["grammar_issues"] == 1
+    assert got[2]["grammar_issues"] == 1
+    assert got[3]["grammar_issues"] == 1
+    assert got[4]["grammar_issues"] == 0
+    assert got[5]["grammar_issues"] == 0
+    assert got[6]["grammar_issues"] == 0 and got[6]["grammar_score"] == 1.0
+    # score = clamp(1 - issues/words): doc 1 has 3 whitespace words
+    assert got[1]["grammar_score"] == pytest.approx(1 - 1 / 3)
