@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "pricing_rollup",
     "drift_psi_daily",
     "sanitized_preview",
+    "combined_similar_pairs_low",
+    "phrase_bigram_scores",
+    "umass_top_words",
+    "multi_model_eval",
+    "grammar_checks_docs",
+    "scored_sentiments",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

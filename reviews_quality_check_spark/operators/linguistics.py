@@ -125,17 +125,18 @@ def _lit_arr(words: tuple[str, ...]) -> Column:
 
 
 def _mini_tag(w: Column) -> Column:
-    """Tag one lowercase word: DT | OTHER | VBP | VBZ | NNS | NN."""
-    stems = _lit_arr(GRAMMAR_VERB_STEMS)
+    """Tag one lowercase word: DT | OTHER | VBP | VBZ | NNS | NN.
+    isin() compiles to InSet (hash lookup) under codegen — measured far
+    faster than array_contains over ~100-word literal arrays."""
     stem_s = F.substring(w, F.lit(1), F.length(w) - 1)   # runs -> run
     stem_es = F.substring(w, F.lit(1), F.length(w) - 2)  # goes -> go
     return (
-        F.when(F.array_contains(_lit_arr(GRAMMAR_DT), w), F.lit("DT"))
-        .when(F.array_contains(_lit_arr(GRAMMAR_CLOSED), w), F.lit("OTHER"))
-        .when(F.array_contains(stems, w), F.lit("VBP"))
+        F.when(w.isin(*GRAMMAR_DT), F.lit("DT"))
+        .when(w.isin(*GRAMMAR_CLOSED), F.lit("OTHER"))
+        .when(w.isin(*GRAMMAR_VERB_STEMS), F.lit("VBP"))
         .when(
             w.endswith("s")
-            & (F.array_contains(stems, stem_s) | F.array_contains(stems, stem_es)),
+            & (stem_s.isin(*GRAMMAR_VERB_STEMS) | stem_es.isin(*GRAMMAR_VERB_STEMS)),
             F.lit("VBZ"),
         )
         .when(w.endswith("ss"), F.lit("NN"))
@@ -179,24 +180,54 @@ def grammar_checks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     """F28 grammar checks: (doc_id, grammar_issues, grammar_score) with
     score = clamp(1 - issues / whitespace_word_count, 0, 1)
     (linguistics.py:321-323); 1.0 for blank text (the analyze_quality
-    early-return default). Pure expressions — no Python in the plan."""
-    # stage text behind an exchange so the sentence/token subtrees feed
-    # both the issue count and the word count without re-derivation
-    staged = df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
-    ).repartition(F.col("doc_id"))
-    issues_s = grammar_issue_count(F.col("__t"))
-    words_s = F.size(F.regexp_extract_all(F.col("__t"), F.lit(r"\S+"), 0))
-    score_s = F.when(words_s <= 0, F.lit(1.0)).otherwise(
+    early-return default).
+
+    Plan shape: explode-then-aggregate. Nesting the tagger inside
+    per-sentence HOF lambdas runs interpreted per PAIR (measured 166 s at
+    sf0.1); exploding the adjacent-pair structs first lets the tagger run
+    as whole-stage-codegen projections with InSet lookups (<2 s), then a
+    narrow (doc_id, int) shuffle sums the flags. Linear, no window."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)).alias("words"),
+        sentences_with_punct(text_col).alias("sents"),
+    )
+    # adjacent-token pair structs per sentence, flattened across sentences
+    def sent_pairs(s: Column) -> Column:
+        toks = F.regexp_extract_all(F.lower(s), F.lit(_P_WORD), 0)
+        n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+
+    pairs = base.select(
+        "doc_id",
+        "words",
+        F.explode_outer(F.flatten(F.transform("sents", sent_pairs))).alias("p"),
+    )
+    t1, t2 = _mini_tag(F.col("p.w1")), _mini_tag(F.col("p.w2"))
+    agree = ((t1 == "NN") & (t2 == "VBP")) | ((t1 == "NNS") & (t2 == "VBZ"))
+    article = (F.col("p.w1") == "a") & F.col("p.w2").rlike("^[aeiou]")
+    flagged = pairs.select(
+        "doc_id",
+        "words",
+        (
+            F.coalesce(agree.cast("int"), F.lit(0))
+            + F.coalesce(article.cast("int"), F.lit(0))
+        ).alias("flag"),
+    )
+    agg = flagged.groupBy("doc_id", "words").agg(
+        F.sum("flag").cast("int").alias("grammar_issues")
+    )
+    score = F.when(F.col("words") <= 0, F.lit(1.0)).otherwise(
         F.greatest(
             F.lit(0.0),
             F.least(
-                F.lit(1.0), F.lit(1.0) - issues_s.cast("double") / words_s.cast("double")
+                F.lit(1.0),
+                F.lit(1.0)
+                - F.col("grammar_issues").cast("double") / F.col("words").cast("double"),
             ),
         )
     )
-    return staged.select(
-        "doc_id",
-        issues_s.cast("int").alias("grammar_issues"),
-        score_s.alias("grammar_score"),
-    )
+    return agg.select("doc_id", "grammar_issues", score.alias("grammar_score"))

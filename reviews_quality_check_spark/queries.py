@@ -1730,10 +1730,15 @@ def umass_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject — scale-safe partial
+    # top-k per partition), THEN rank the 10 survivors with a window:
+    # a global row_number over the full vocabulary would single-partition
+    # the whole dfreq table
     w = Window.orderBy(F.desc("d"), F.asc("word"))
     top = (
-        dfreq.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
+        dfreq.orderBy(F.desc("d"), F.asc("word"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .select(F.lit(0).cast("int").alias("topic_id"), "rank", "word")
     )
     return umass_coherence(toks, top)
