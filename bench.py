@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "combined_similar_pairs_low",
     "phrase_bigram_scores",
     "umass_top_words",
+    "cv_top_words",
     "multi_model_eval",
     "grammar_checks_docs",
     "scored_sentiments",

@@ -1620,6 +1620,7 @@ def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (topic.py:253-273) computed closed-form over doc frequencies."""
     from reviews_quality_check_spark.operators.topics import (
         _token_df,
+        cv_coherence,
         topics_summary,
         umass_coherence,
     )
@@ -1630,9 +1631,12 @@ def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NB CountVectorizer treats minDF/maxDF >= 1.0 as ABSOLUTE doc counts
     terms = topics_summary(d, k=4, top_n=4, min_df=1.0, max_df=1e9)
     top_words = terms.select("topic_id", "rank", F.col("term").alias("word"))
-    um = umass_coherence(_token_df(d, "text", "doc_id"), top_words)
+    toks = _token_df(d, "text", "doc_id")
+    um = umass_coherence(toks, top_words)
+    cv = cv_coherence(toks, top_words)
     return (
         terms.join(um.select("topic_id", "u_mass"), "topic_id", "left")
+        .join(cv.select("topic_id", "c_v"), "topic_id", "left")
         .orderBy("topic_id", "rank")
     )
 
@@ -1689,9 +1693,7 @@ def phrase_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("word_a", "word_b")
 
 
-@_register(
-    "umass_top_words",
-    oracle=f"""
+_UMASS_ORACLE = f"""
     WITH tok AS ({_sql_topic_tokens()}),
     tok2 AS (SELECT doc_id, list_distinct(toks) AS toks FROM tok WHERE len(toks) >= 3),
     hits AS (SELECT doc_id, unnest(toks) AS word FROM tok2),
@@ -1711,8 +1713,81 @@ def phrase_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cast(0 as int) AS topic_id, count(*) AS n_pairs,
            round(cast(sum(cast(s as decimal(28,10))) as double) / count(*) + 1e-9, 4) AS u_mass
     FROM scored
+    """
+
+
+@_register(
+    "cv_top_words",
+    oracle=f"""
+    WITH tok AS ({_sql_topic_tokens()}),
+    tok2 AS (SELECT doc_id, list_distinct(toks) AS toks FROM tok WHERE len(toks) >= 3),
+    nd AS (SELECT cast(count(*) as double) AS nd FROM tok2),
+    hits AS (SELECT doc_id, unnest(toks) AS word FROM tok2),
+    dfreq0 AS (SELECT word, count(*) AS d FROM hits GROUP BY word),
+    top AS (SELECT word, d, cast(rn as int) AS rank FROM (
+              SELECT word, d, row_number() OVER (ORDER BY d DESC, word ASC) AS rn
+              FROM dfreq0) WHERE rn <= 10),
+    thits AS (SELECT h.doc_id, t.rank FROM hits h JOIN top t USING (word)),
+    co AS (SELECT a.rank AS ri, b.rank AS rj, count(*) AS dij
+           FROM thits a JOIN thits b ON a.doc_id = b.doc_id GROUP BY 1, 2),
+    grid AS (SELECT a.rank AS ri, b.rank AS rj, a.d AS di, b.d AS dj
+             FROM top a CROSS JOIN top b),
+    npmi AS (
+      SELECT g.ri, g.rj,
+             round(ln((cast(coalesce(c.dij, 0) as double) / nd.nd + 1e-12)
+                      / ((cast(di as double) / nd.nd) * (cast(dj as double) / nd.nd)))
+                   / (-ln(cast(coalesce(c.dij, 0) as double) / nd.nd + 1e-12)), 6) AS npmi
+      FROM grid g LEFT JOIN co c ON c.ri = g.ri AND c.rj = g.rj
+      CROSS JOIN nd),
+    wsum AS (
+      SELECT rj, cast(sum(cast(round(npmi, 6) as decimal(28,10))) as double) AS wsum
+      FROM npmi GROUP BY rj),
+    per_word AS (
+      SELECT n.ri,
+             cast(sum(cast(round(n.npmi * w.wsum, 6) as decimal(28,10))) as double) AS num,
+             cast(sum(cast(round(n.npmi * n.npmi, 6) as decimal(28,10))) as double) AS den1
+      FROM npmi n JOIN wsum w ON w.rj = n.rj GROUP BY n.ri),
+    den2 AS (
+      SELECT cast(sum(cast(round(wsum * wsum, 6) as decimal(28,10))) as double) AS den2
+      FROM wsum),
+    scores AS (
+      SELECT p.num / (sqrt(p.den1) * sqrt(d.den2)) AS score
+      FROM per_word p CROSS JOIN den2 d)
+    SELECT cast(0 as int) AS topic_id, count(*) AS n_words,
+           round(cast(sum(cast(round(score, 6) as decimal(28,10))) as double)
+                 / count(*) + 1e-9, 4) AS c_v
+    FROM scores
     """,
 )
+def cv_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 c_v coherence (reference topic.py:253-273) closed-form: NPMI
+    context vectors from doc-frequency estimation, per-word cosine vs
+    the summed topic vector, mean over words. Same deterministic topic
+    (top-10 frequent tokens) as umass_top_words; every float sum is
+    per-term-quantized into an exact decimal sum so aggregation order
+    cannot change results (cross-engine green)."""
+    from pyspark.sql.window import Window
+
+    from reviews_quality_check_spark.operators.topics import _token_df, cv_coherence
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _token_df(d, "text", "doc_id")
+    dfreq = (
+        toks.select(F.explode(F.array_distinct("tokens")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    w = Window.orderBy(F.desc("d"), F.asc("word"))
+    top = (
+        dfreq.orderBy(F.desc("d"), F.asc("word"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(F.lit(0).cast("int").alias("topic_id"), "rank", "word")
+    )
+    return cv_coherence(toks, top)
+
+
+@_register("umass_top_words", oracle=_UMASS_ORACLE)
 def umass_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 u_mass coherence (reference topic.py:253-273) as a closed-form
     doc-frequency aggregation over a deterministic 'topic': the 10 most

@@ -103,3 +103,27 @@ def test_phrase_merge_greedy_and_vocab_change(spark):
     assert toks == ["xx_yy", "zz"]  # yy consumed; (yy, zz) cannot fire
     cv = CountVectorizer(inputCol="tokens", outputCol="f").fit(merged)
     assert "xx_yy" in cv.vocabulary and "yy" not in cv.vocabulary
+
+
+def test_cv_coherence_properties(spark):
+    """c_v sanity: a topic whose words always co-occur has identical NPMI
+    context vectors -> every cosine is 1.0 -> c_v = 1.0; a topic mixing
+    co-occurring and never-co-occurring words scores strictly lower."""
+    from reviews_quality_check_spark.operators.topics import cv_coherence
+
+    # a,b always together in 3 of 6 docs; c lives alone in the others
+    tok = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b"]), (3, ["a", "b"]),
+         (4, ["c"]), (5, ["c"]), (6, ["c"])],
+        "doc_id long, tokens array<string>",
+    )
+    perfect = spark.createDataFrame(
+        [(0, 1, "a"), (0, 2, "b")], "topic_id int, rank int, word string"
+    )
+    mixed = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "c")], "topic_id int, rank int, word string"
+    )
+    got = {r["topic_id"]: r["c_v"] for r in
+           cv_coherence(tok, perfect.unionAll(mixed)).collect()}
+    assert got[0] == pytest.approx(1.0, abs=1e-6)
+    assert got[1] < got[0]

@@ -45,6 +45,32 @@ EXPECT: dict[str, dict] = {
     "minhash_lsh_candidates": {
         "read_cols_max": 2,                      # doc_id + text only
     },
+    "embedding_near_dups": {
+        # the whole point of the LSH re-plan: NO cartesian anywhere
+        "plan_not_contains": "CartesianProduct|BroadcastNestedLoopJoin",
+        "read_cols_max": 2,                      # vec_id + embedding
+    },
+    "combined_similar_pairs_low": {
+        "plan_not_contains": "CartesianProduct|BroadcastNestedLoopJoin",
+    },
+    "grammar_checks_docs": {
+        # explode-then-aggregate: tagging must run inside codegen stages,
+        # and the only wide op is the final (doc_id) sum
+        "plan_contains": r"Generate explode",
+        "max_exchanges": 3,
+        "read_cols_max": 2,
+    },
+    "phrase_bigram_scores": {
+        "plan_contains": "HashAggregate",
+        "read_cols_max": 2,
+    },
+    "multi_model_eval": {
+        "read_cols_max": 2,                      # doc_id + text
+        "max_exchanges": 3,                      # explode dim -> one grouped agg
+    },
+    "ann_lsh_topk": {
+        "plan_not_contains": "CartesianProduct|BroadcastNestedLoopJoin",
+    },
 }
 
 
@@ -89,6 +115,8 @@ def main() -> int:
             problems.append(f"{info['exchanges']} exchanges (max {exp['max_exchanges']})")
         if "plan_contains" in exp and not re.search(exp["plan_contains"], info["plan"], re.S):
             problems.append(f"plan missing /{exp['plan_contains']}/")
+        if "plan_not_contains" in exp and re.search(exp["plan_not_contains"], info["plan"], re.S):
+            problems.append(f"plan CONTAINS forbidden /{exp['plan_not_contains']}/")
         status = "OK " if not problems else "FAIL"
         print(
             f"[{status}] {name}: exchanges={info['exchanges']} "
