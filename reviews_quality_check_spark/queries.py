@@ -1819,6 +1819,36 @@ def umass_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return umass_coherence(toks, top)
 
 
+def _keep_first_oracle() -> str:
+    from reviews_quality_check_spark.sources.reviews import sql_synth_reviews
+
+    return f"""
+    WITH rev AS (SELECT * FROM {sql_synth_reviews(2000)}),
+    r AS (SELECT *, row_number() OVER (PARTITION BY md5({sql_norm_text('text')})
+                                       ORDER BY id) AS rn
+          FROM rev)
+    SELECT id, text, sentiment, domain FROM r WHERE rn = 1 ORDER BY id
+    """
+
+
+@_register("dedup_keep_first_reviews", oracle=None)
+def dedup_keep_first_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 keep-first dedup (review_analysis.py:545-551): lowest-id row of
+    each exact-duplicate group survives, over the DuckDB-regenerable
+    reviews fixture (~2% planted duplicates) so the retained set is
+    hash-verified end-to-end."""
+    from reviews_quality_check_spark.operators.dedup import dedup_keep_first
+    from reviews_quality_check_spark.sources.reviews import synth_reviews
+
+    r = synth_reviews(spark, 2000)
+    return dedup_keep_first(r, "text", "id").select(
+        "id", "text", "sentiment", "domain"
+    ).orderBy("id")
+
+
+ORACLES["dedup_keep_first_reviews"] = _keep_first_oracle()
+
+
 _PIPELINE_N = 10_000
 
 

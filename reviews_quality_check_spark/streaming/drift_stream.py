@@ -103,3 +103,26 @@ def start_drift_monitor(
         .foreachBatch(callback)
         .start()
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    key_cols: tuple[str, ...] = ("url",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each key within
+    the watermark horizon (`dropDuplicatesWithinWatermark`) — the
+    streaming counterpart of W1 keep-first / the uniqueness check, and
+    the standard ingestion-dedup stage of a training-data pipeline.
+
+    State size is bounded by (keys seen within the watermark), not the
+    full history — the property that makes this viable on an unbounded
+    10^12-row crawl stream. Exactly-once duplicates SINCE the job start
+    beyond the horizon require the batch dedup pass (dedup_keep_first)
+    downstream; the split is deliberate: unbounded-state streaming dedup
+    does not scale.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

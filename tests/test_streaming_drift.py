@@ -52,3 +52,48 @@ def test_streaming_drift_end_to_end(spark, tmp_path):
     assert drift["2024-01-01 01:00:00"] == pytest.approx(0.0, abs=1e-9)
     want = O.kl_divergence({"a": 0.1, "b": 0.9}, {"a": 0.9, "b": 0.1})
     assert drift["2024-01-01 02:00:00"] == pytest.approx(want, rel=1e-6)
+
+
+def test_streaming_dedup_drops_repeats_within_watermark(spark, tmp_path):
+    """First arrival of each url survives; repeats within the watermark
+    horizon are dropped; output preserved across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.streaming.drift_stream import streaming_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rows1 = [("u1", "2024-01-01 00:00:00"), ("u2", "2024-01-01 00:01:00"),
+             ("u1", "2024-01-01 00:02:00")]
+    rows2 = [("u1", "2024-01-01 00:03:00"), ("u3", "2024-01-01 00:04:00")]
+    schema = "url string, warc_ts string"
+
+    def write_batch(rows, n):
+        spark.createDataFrame(rows, schema).withColumn(
+            "warc_ts", F.to_timestamp("warc_ts")
+        ).write.mode("append").parquet(src)
+
+    write_batch(rows1, 1)
+    stream = spark.readStream.schema("url string, warc_ts timestamp").parquet(src)
+    q = (
+        streaming_dedup(stream, ts_col="warc_ts", key_cols=("url",), watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    write_batch(rows2, 2)
+    q2 = (
+        streaming_dedup(stream, ts_col="warc_ts", key_cols=("url",), watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert got == ["u1", "u2", "u3"]  # u1 repeats (batch 1 AND batch 2) dropped
