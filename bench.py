@@ -91,6 +91,10 @@ def main() -> None:
     def materialize(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
+    # untimed JVM/codegen warm-up so the first timed query doesn't absorb
+    # ~10s of tiered-JIT + session init (cluster executors amortize this)
+    materialize(QUERIES["doc_column_stats"](spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
