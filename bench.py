@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "multi_model_eval",
     "grammar_checks_docs",
     "scored_sentiments",
+    "events_asof_clicks",
+    "events_in_incident_windows",
+    "dedup_keep_first_reviews",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

@@ -1819,6 +1819,106 @@ def umass_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return umass_coherence(toks, top)
 
 
+@_register(
+    "events_asof_clicks",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, ts, max(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.user_id, p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts,
+           c.click_event_id,
+           cast(floor(epoch(p.ts)) as bigint) - cast(floor(epoch(c.ts)) as bigint) AS gap_seconds
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.user_id, p.event_id
+    """,
+)
+def events_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (training-pipeline temporal operator the brief names;
+    DuckDB ASOF JOIN is the oracle): each purchase event picks the
+    user's nearest prior-or-simultaneous click. Engine plan is the
+    union+running-window form (operators/asof.py) — one narrow shuffle,
+    no range-join explosion. Clicks pre-deduped to one row per
+    (user, ts) so equal-ts ties are deterministic in both engines."""
+    from reviews_quality_check_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    j = asof_join(
+        p, c, key_cols=("user_id",), left_ts="ts", right_ts="ts",
+        right_value_cols=("ts", "click_event_id"), prefix="asof_",
+    )
+    return (
+        j.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format(F.col("asof_ts"), "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+            F.col("asof_click_event_id").alias("click_event_id"),
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.col("asof_ts"))).alias("gap_seconds"),
+        ).orderBy("user_id", "event_id")
+    )
+
+
+@_register(
+    "events_in_incident_windows",
+    oracle="""
+    WITH inc AS (
+      SELECT event_id AS incident_id, ts AS inc_start,
+             ts + INTERVAL 30 MINUTE AS inc_end
+      FROM events WHERE event_type = 'error'),
+    p AS (SELECT event_id AS pid, ts AS pts FROM events)
+    SELECT i.incident_id,
+           strftime(i.inc_start, '%Y-%m-%d %H:%M:%S') AS inc_start,
+           count(p.pid) AS n_events
+    FROM inc i LEFT JOIN p ON p.pts >= i.inc_start AND p.pts <= i.inc_end
+    GROUP BY i.incident_id, i.inc_start
+    ORDER BY i.incident_id
+    """,
+)
+def events_in_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (the brief's second temporal operator): every 'error'
+    event opens a 30-minute incident window; count ALL events falling
+    inside each window. Engine plan: bucketed range join (equi-join on
+    epoch buckets + residual BETWEEN — operators/asof.py), never the
+    BNLJ Spark would pick for a raw theta join. Oracle: DuckDB IEJoin."""
+    from reviews_quality_check_spark.operators.asof import range_join_bucketed
+
+    e = _t(spark, sf_dir, "events")
+    inc = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("inc_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("inc_end"),
+    )
+    pts = e.select(F.col("event_id").alias("pid"), F.col("ts").alias("pts"))
+    matched = range_join_bucketed(
+        pts, inc, point_ts="pts", start_ts="inc_start", end_ts="inc_end",
+        bucket_seconds=1800,
+    )
+    counts = matched.groupBy("incident_id", "inc_start").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    # LEFT semantics: incidents with zero matches still appear
+    return (
+        inc.select("incident_id", "inc_start")
+        .join(counts, ["incident_id", "inc_start"], "left")
+        .select(
+            "incident_id",
+            F.date_format("inc_start", "yyyy-MM-dd HH:mm:ss").alias("inc_start"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        )
+        .orderBy("incident_id")
+    )
+
+
 def _keep_first_oracle() -> str:
     from reviews_quality_check_spark.sources.reviews import sql_synth_reviews
 

@@ -45,3 +45,56 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert re.search(r"Exchange hashpartitioning", plan2)
 
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_asof_join_semantics(spark):
+    """asof_join: nearest prior-or-equal right row per key; null when no
+    prior row; equal-ts right row matches (inclusive); keys isolated."""
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", "p1"), (1, "2024-01-01 00:00:30", "p0"),
+         (2, "2024-01-01 00:01:00", "p2")],
+        "k long, ts string, pid string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 10), (1, "2024-01-01 00:05:00", 20),
+         (2, "2024-01-01 00:02:00", 30)],
+        "k long, ts string, v int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["pid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, key_cols=("k",), left_ts="ts", right_ts="ts",
+            right_value_cols=("v",),
+        ).collect()
+    }
+    assert got["p1"] == 20    # equal ts matches (inclusive bound)
+    assert got["p0"] is None  # no prior right row
+    assert got["p2"] is None  # key 2's right row is later; key 1 invisible
+
+
+def test_range_join_bucketed_boundaries(spark):
+    """Inclusive bounds on both ends; points outside excluded; intervals
+    spanning multiple buckets still match exactly once per point."""
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.asof import range_join_bucketed
+
+    pts = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:30:00"),
+         ("c", "2024-01-01 01:15:00"), ("d", "2024-01-01 02:00:01")],
+        "pid string, pts string",
+    ).withColumn("pts", F.to_timestamp("pts"))
+    # one 2-hour interval: spans 5 buckets at 1800s
+    iv = spark.createDataFrame(
+        [("i1", "2024-01-01 00:00:00", "2024-01-01 02:00:00")],
+        "iid string, s string, e string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    got = sorted(
+        r["pid"]
+        for r in range_join_bucketed(pts, iv, "pts", "s", "e", bucket_seconds=1800).collect()
+    )
+    assert got == ["a", "b", "c"]  # start inclusive, end inclusive, d is 1s late

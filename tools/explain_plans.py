@@ -71,6 +71,14 @@ EXPECT: dict[str, dict] = {
     "ann_lsh_topk": {
         "plan_not_contains": "CartesianProduct|BroadcastNestedLoopJoin",
     },
+    "events_asof_clicks": {
+        # union+window asof: one narrow shuffle, no range explosion
+        "plan_not_contains": "CartesianProduct|BroadcastNestedLoopJoin",
+    },
+    "events_in_incident_windows": {
+        # bucketed range join: equi-join on epoch buckets, never BNLJ
+        "plan_not_contains": "CartesianProduct|BroadcastNestedLoopJoin",
+    },
 }
 
 
