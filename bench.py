@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "events_asof_clicks",
     "events_in_incident_windows",
     "dedup_keep_first_reviews",
+    "token_counts_bpe",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

@@ -219,3 +219,19 @@ def truncate_words(col: Column | str, max_length: int = 100, ellipsis: str = "..
     # reference: `last_space > 0` — a space at index 0 (keep_len==0) keeps cut
     trimmed = F.when((rev_pos > 0) & (keep_len > 0), F.substring(cut, 1, keep_len)).otherwise(cut)
     return F.when(F.length(c) <= max_length, c).otherwise(F.concat(trimmed, F.lit(ellipsis)))
+
+
+# GPT-2-style pre-tokenizer regex (Radford et al. 2019 / tiktoken's
+# published pattern), simplified to what Spark's java.util.regex AND
+# DuckDB's RE2 both support identically: no negative lookahead, ASCII
+# letter/digit classes. Counts approximate BPE token counts the way an
+# LLM-ingest pipeline budgets sequence length before real tokenization.
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'| ?\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Pre-tokenizer match count — the 'BPE-ish regex' token budget
+    (real BPE merges only split pre-tokens further, so this lower-bounds
+    the true token count at roughly 0.75-1x for English text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), 0))

@@ -1820,6 +1820,32 @@ def umass_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "token_counts_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+           len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|''| ?\s+')) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both budgets the brief names: whitespace tokens
+    and a BPE-ish pre-tokenizer count (GPT-2 pre-token regex, simplified
+    to the dialect Spark's java regex and DuckDB's RE2 evaluate
+    identically — no lookahead). The sequence-length budgeting pass of
+    an LLM ingest pipeline; pure map-only regex counts."""
+    from reviews_quality_check_spark.functions.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).cast("long").alias("n_ws_tokens"),
+        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@_register(
     "events_asof_clicks",
     oracle="""
     WITH p AS (
