@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "events_in_incident_windows",
     "dedup_keep_first_reviews",
     "token_counts_bpe",
+    "lang_id_ngram_confusion",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

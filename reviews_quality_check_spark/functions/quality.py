@@ -106,3 +106,55 @@ def predict_lang(col: Column | str) -> Column:
     for lg in reversed(LANG_PRIORITY):
         expr = F.when((best > 0) & (hits[lg] == best), F.lit(lg)).otherwise(expr)
     return expr
+
+
+# --- n-gram-heuristic language ID (Cavnar-Trenkle style) ---------------------
+# Char-trigram profiles derived deterministically from the marker lexicon:
+# every marker word is space-padded (boundary-aware) and decomposed into
+# trigrams. Short function words still yield discriminative boundary
+# trigrams (' el', 'el '), which is the point of the padding.
+
+
+def _padded_trigrams_py(word: str) -> list[str]:
+    p = f" {word} "
+    return [p[i : i + 3] for i in range(len(p) - 2)]
+
+
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    lg: tuple(sorted({t for m in ms for t in _padded_trigrams_py(m)}))
+    for lg, ms in LANG_MARKERS.items()
+}
+
+
+def _padded_trigrams(words: Column) -> Column:
+    """All space-padded char trigrams across a words array (multiplicity
+    kept — profile hits count occurrences, not distinct types)."""
+    def word_tgs(w: Column) -> Column:
+        p = F.concat(F.lit(" "), w, F.lit(" "))
+        return F.transform(
+            F.sequence(F.lit(1), F.length(p) - 2), lambda i: F.substring(p, i, F.lit(3))
+        )
+
+    return F.flatten(F.transform(words, word_tgs))
+
+
+def lang_trigram_hits(tgs: Column, lang: str) -> Column:
+    prof = F.array(*[F.lit(t) for t in LANG_TRIGRAM_PROFILES[lang]])
+    return F.size(F.filter(tgs, lambda t: F.array_contains(prof, t)))
+
+
+def predict_lang_ngram(col: Column | str) -> Column:
+    """Argmax language over padded-trigram profile hits; ties resolved by
+    LANG_PRIORITY order; 'und' with zero hits. The 'n-gram heuristic'
+    lang-ID of the brief — boundary trigrams of function words carry the
+    signal, so it also fires on inflected/partial matches the word-level
+    marker scorer misses."""
+    from reviews_quality_check_spark.functions.text import whitespace_words
+
+    tgs = _padded_trigrams(whitespace_words(col))
+    hits = {lg: lang_trigram_hits(tgs, lg) for lg in LANG_PRIORITY}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lg in reversed(LANG_PRIORITY):
+        expr = F.when((best > 0) & (hits[lg] == best), F.lit(lg)).otherwise(expr)
+    return expr

@@ -1819,6 +1819,77 @@ def umass_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return umass_coherence(toks, top)
 
 
+def _lang_ngram_oracle() -> str:
+    from reviews_quality_check_spark.functions.quality import (
+        LANG_PRIORITY,
+        LANG_TRIGRAM_PROFILES,
+    )
+
+    hits = {
+        lg: f"len(list_filter(tgs, t -> list_contains({_sql_list(LANG_TRIGRAM_PROFILES[lg])}, t)))"
+        for lg in LANG_PRIORITY
+    }
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in LANG_PRIORITY) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lg} = {best} THEN '{lg}'" for lg in LANG_PRIORITY
+    ) + " END"
+    return f"""
+    WITH w AS (SELECT doc_id, lang, {_sql_words('text')} AS ws FROM documents),
+    tg AS (
+      SELECT doc_id, lang,
+             flatten(list_transform(ws, x ->
+               list_transform(range(1, len(x) + 1),
+                              i -> (' ' || x || ' ')[i:i+2]))) AS tgs
+      FROM w),
+    h AS (SELECT doc_id, lang,
+                 {', '.join(f"{expr} AS h_{lg}" for lg, expr in hits.items())}
+          FROM tg)
+    SELECT lang AS labeled, {case} AS predicted, count(*) AS n
+    FROM h GROUP BY 1, 2 ORDER BY labeled, predicted
+    """
+
+
+@_register("lang_id_ngram_confusion", oracle=None)
+def lang_id_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID (Cavnar-Trenkle-style space-padded
+    char-trigram profiles) vs the labeled lang column: confusion counts.
+    Trigram array staged behind an exchange so the 4 per-language hit
+    counts reference a materialized attribute, not 4 re-derivations.
+
+    NB on the synthetic corpus the confusion matrix is genuinely murky:
+    documents share one technical vocabulary regardless of label (e.g.
+    'data' contains the ' da' boundary trigram of German 'das/der'), so
+    trigram profiles alias across languages. That is a property of the
+    test data, not the operator — the word-marker variant
+    (lang_id_confusion) is the precise classifier for this corpus; this
+    one is the recall-oriented heuristic the brief names."""
+    from reviews_quality_check_spark.functions.quality import (
+        LANG_PRIORITY,
+        _padded_trigrams,
+        lang_trigram_hits,
+    )
+    from reviews_quality_check_spark.functions.text import whitespace_words
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "lang", _padded_trigrams(whitespace_words("text")).alias("tgs")
+    ).repartition(F.col("doc_id"))
+    hits = {lg: lang_trigram_hits(F.col("tgs"), lg) for lg in LANG_PRIORITY}
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lg in reversed(LANG_PRIORITY):
+        pred = F.when((best > 0) & (hits[lg] == best), F.lit(lg)).otherwise(pred)
+    return (
+        staged.select(F.col("lang").alias("labeled"), pred.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+ORACLES["lang_id_ngram_confusion"] = _lang_ngram_oracle()
+
+
 @_register(
     "token_counts_bpe",
     oracle=r"""
