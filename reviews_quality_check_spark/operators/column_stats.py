@@ -105,3 +105,99 @@ def histogram(
     return counts.crossJoin(F.broadcast(total)).withColumn(
         "ratio", F.col("cnt").cast("double") / F.col("__total")
     ).drop("__total")
+
+
+# ---------------------------------------------------------------------------
+# Custom mergeable quantile sketch as an applyInPandas two-stage aggregate
+# (SURVEY §7.3's "t-digest partial/merge" item). percentile_approx above
+# is the production path; this demonstrates the ARROW-BATCHED PARTIAL ->
+# MERGE pattern for sketches Spark lacks natively, with a deterministic
+# fixed-size digest (uniform-rank centroid compression, t-digest family).
+# ---------------------------------------------------------------------------
+
+
+def _compress(values, weights, k: int):
+    """Compress weighted points to <= k centroids by equal-weight rank
+    strata — deterministic (sorted input, fixed strata), mergeable."""
+    import numpy as np
+
+    # lexsort on (weight, value): fully deterministic regardless of the
+    # arrival order of equal-valued centroids from different partials
+    order = np.lexsort((np.asarray(weights), np.asarray(values)))
+    v, w = np.asarray(values)[order], np.asarray(weights)[order]
+    if len(v) <= k:
+        return v, w
+    cum = np.cumsum(w)
+    total = cum[-1]
+    edges = np.linspace(0, total, k + 1)
+    idx = np.searchsorted(cum, edges[1:-1], side="left")
+    bounds = np.concatenate(([0], idx + 1, [len(v)]))
+    cv, cw = [], []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if a >= b:
+            continue
+        ws = w[a:b].sum()
+        cv.append(float((v[a:b] * w[a:b]).sum() / ws))
+        cw.append(float(ws))
+    return np.asarray(cv), np.asarray(cw)
+
+
+def quantile_digest(
+    df: DataFrame,
+    column: str,
+    group_by: str | None = None,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    k: int = 128,
+) -> DataFrame:
+    """Two-stage mergeable quantile sketch:
+
+    Stage 1 (partial): applyInPandas over (group, shuffle-partition
+    salt) compresses each slice's values into <= k weighted centroids —
+    Arrow-batched, bounded memory, parallel across the cluster.
+    Stage 2 (merge): applyInPandas per group concatenates partial
+    centroids, re-compresses, and reads quantiles off the weighted CDF.
+
+    Error is bounded by the rank width total/k per stratum (the t-digest
+    guarantee family, uniform rather than tail-biased scaling).
+    Output: (group_key, n, quantiles array<double>).
+    """
+    import pandas as pd
+
+    gcol = F.col(group_by) if group_by else F.lit("_all")
+    # salt bounds each partial's input so stage-1 state is ~rows/256
+    base = df.select(
+        gcol.cast("string").alias("group_key"),
+        F.col(column).cast("double").alias("v"),
+        F.pmod(F.xxhash64(F.col(column)), F.lit(256)).alias("salt"),
+    ).filter(F.col("v").isNotNull())
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cv, cw = _compress(pdf["v"].to_numpy(), np.ones(len(pdf)), k)
+        return pd.DataFrame(
+            {"group_key": pdf["group_key"].iloc[0], "cv": [cv.tolist()], "cw": [cw.tolist()]}
+        )
+
+    partials = base.groupBy("group_key", "salt").applyInPandas(
+        partial, "group_key string, cv array<double>, cw array<double>"
+    )
+
+    qlist = list(quantiles)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = np.concatenate([np.asarray(x) for x in pdf["cv"]])
+        w = np.concatenate([np.asarray(x) for x in pdf["cw"]])
+        cv, cw = _compress(v, w, k)
+        total = cw.sum()
+        cum = np.cumsum(cw) - cw / 2.0  # centroid mid-ranks
+        qs = [float(np.interp(q * total, cum, cv)) for q in qlist]
+        return pd.DataFrame(
+            {"group_key": pdf["group_key"].iloc[0], "n": [float(total)], "quantiles": [qs]}
+        )
+
+    return partials.groupBy("group_key").applyInPandas(
+        merge, "group_key string, n double, quantiles array<double>"
+    )

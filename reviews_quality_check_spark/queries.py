@@ -1890,6 +1890,24 @@ def lang_id_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["lang_id_ngram_confusion"] = _lang_ngram_oracle()
 
 
+@_register("nchars_digest")  # approx sketch: rows-only (bounded-error pytest)
+def nchars_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom mergeable quantile sketch (SURVEY §7.3 t-digest partial/
+    merge as a two-stage applyInPandas aggregate) over n_chars per lang.
+    Approximate by design — no SQL oracle can bit-match it; correctness
+    is the bounded-error + partition-determinism pytest
+    (tests/test_drift_stats.py::test_quantile_digest_bounded_error)."""
+    from reviews_quality_check_spark.operators.column_stats import quantile_digest
+
+    d = _t(spark, sf_dir, "documents")
+    out = quantile_digest(d, "n_chars", group_by="lang", k=128)
+    return out.select(
+        "group_key",
+        F.col("n").cast("long").alias("n"),
+        F.transform(F.col("quantiles"), lambda x: F.round(x, 4)).alias("quantiles"),
+    ).orderBy("group_key")
+
+
 @_register(
     "token_counts_bpe",
     oracle=r"""

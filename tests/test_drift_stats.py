@@ -122,3 +122,35 @@ def test_histogram_ratios(spark):
     df = spark.createDataFrame([("a",)] * 3 + [("b",)] * 1, "cat string")
     out = {r["cat"]: r["ratio"] for r in histogram(df, "cat").collect()}
     assert out == {"a": 0.75, "b": 0.25}
+
+
+def test_quantile_digest_bounded_error(spark):
+    """Two-stage applyInPandas sketch: per-group quantiles within the
+    rank-error bound of exact, count exact, deterministic across
+    partitionings."""
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.column_stats import quantile_digest
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 37 % 10_000).cast("double").alias("v"),
+    )
+    out = {r["group_key"]: r for r in quantile_digest(df, "v", group_by="g", k=128).collect()}
+    exact = {
+        r["g"]: r["q"]
+        for r in df.groupBy("g").agg(
+            F.percentile(F.col("v"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))).alias("q")
+        ).collect()
+    }
+    for g, row in out.items():
+        assert row["n"] == 5000.0
+        for got, want in zip(row["quantiles"], exact[g]):
+            # rank error ~ n/k per stratum -> value error bound on this
+            # uniform-ish data: a few strata widths
+            assert abs(got - want) < 10_000 / 128 * 4, (g, got, want)
+    # determinism across partitionings
+    out2 = {r["group_key"]: r for r in
+            quantile_digest(df.repartition(13), "v", group_by="g", k=128).collect()}
+    for g in out:
+        assert out[g]["quantiles"] == out2[g]["quantiles"]
