@@ -98,3 +98,60 @@ def test_range_join_bucketed_boundaries(spark):
         for r in range_join_bucketed(pts, iv, "pts", "s", "e", bucket_seconds=1800).collect()
     )
     assert got == ["a", "b", "c"]  # start inclusive, end inclusive, d is 1s late
+
+
+def test_asof_and_range_join_property(spark):
+    """Property check on a pseudo-random fixture: asof_join equals the
+    brute-force 'max right ts <= left ts per key' answer, and
+    range_join_bucketed equals the brute-force BETWEEN join, across
+    bucket widths."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.asof import asof_join, range_join_bucketed
+
+    def h(i, salt):
+        return int(hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:8], 16)
+
+    base = 1700000000
+    lrows = [(h(i, "k") % 5, base + h(i, "lt") % 86_400, f"L{i}") for i in range(120)]
+    rrows = [(h(i, "rk") % 5, base + h(i, "rt") % 86_400, i) for i in range(150)]
+    left = spark.createDataFrame(lrows, "k long, ep long, pid string").select(
+        "k", F.timestamp_seconds("ep").alias("ts"), "pid"
+    )
+    right = spark.createDataFrame(rrows, "k long, ep long, rid long").select(
+        "k", F.timestamp_seconds("ep").alias("ts"), "rid"
+    )
+    # dedupe right per (k, ts) for a deterministic asof answer
+    right1 = right.groupBy("k", "ts").agg(F.max("rid").alias("rid"))
+
+    got = {
+        r["pid"]: r["asof_rid"]
+        for r in asof_join(left, right1, ("k",), "ts", "ts", ("rid",)).collect()
+    }
+    rmap = {}
+    for row in right1.collect():
+        rmap.setdefault(row["k"], []).append((row["ts"], row["rid"]))
+    want = {}
+    for k, ts, pid in [(r["k"], r["ts"], r["pid"]) for r in left.collect()]:
+        cands = [(t, rid) for t, rid in rmap.get(k, []) if t <= ts]
+        want[pid] = max(cands)[1] if cands else None
+    assert got == want
+
+    # range join: points=left rows, intervals=right rows +- widths
+    iv = right.select(
+        "rid", F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 47 MINUTES")).alias("e"),
+    )
+    pts = left.select("pid", F.col("ts").alias("pts"))
+    for bw in (60, 1800, 7200):
+        got_pairs = {
+            (r["pid"], r["rid"])
+            for r in range_join_bucketed(pts, iv, "pts", "s", "e", bucket_seconds=bw).collect()
+        }
+        want_pairs = {
+            (r["pid"], r["rid"])
+            for r in pts.join(iv, (F.col("pts") >= F.col("s")) & (F.col("pts") <= F.col("e"))).collect()
+        }
+        assert got_pairs == want_pairs, f"bucket_seconds={bw}"
