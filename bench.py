@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_keep_first_reviews",
     "token_counts_bpe",
     "lang_id_ngram_confusion",
+    "media_features",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

@@ -1890,6 +1890,37 @@ def lang_id_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["lang_id_ngram_confusion"] = _lang_ngram_oracle()
 
 
+@_register("media_features")  # mapInPandas decode plumbing: rows-only
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing with driver visibility: binary media
+    payloads synthesized deterministically from doc_id (md5-derived
+    bytes, 3 kinds), pushed through the Arrow-batched mapInPandas
+    feature extractor (deterministic fake decoder — Pillow/ffmpeg absent
+    here; the real-codec path is the same plan). Rows-only: the feature
+    math lives in the Python decoder by design (that IS the operator);
+    value determinism is pinned by tests/test_ann_ngrams_sample.py."""
+    from reviews_quality_check_spark.operators.multimodal import extract_media_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.to_binary(
+            F.concat(F.md5(F.col("doc_id").cast("string")), F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":p")))),
+            F.lit("hex"),
+        ).alias("payload"),
+    )
+    out = extract_media_features(media, dim=8, fake=True)
+    return out.select(
+        "media_id", "kind", "feat_dim",
+        F.transform("features", lambda x: F.round(x, 4)).alias("features"),
+        "decode_ok",
+    ).orderBy("media_id")
+
+
 @_register("nchars_digest")  # approx sketch: rows-only (bounded-error pytest)
 def nchars_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom mergeable quantile sketch (SURVEY §7.3 t-digest partial/
