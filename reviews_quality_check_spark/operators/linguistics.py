@@ -189,7 +189,12 @@ def grammar_checks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     narrow (doc_id, int) shuffle sums the flags. Linear, no window."""
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)).alias("words"),
+        # coalesce: size(regexp_extract_all(NULL)) is NULL, and a null
+        # word count must yield the documented blank-text default (1.0)
+        F.coalesce(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)),
+            F.lit(0),
+        ).alias("words"),
         sentences_with_punct(text_col).alias("sents"),
     )
     # adjacent-token pair structs per sentence, flattened across sentences

@@ -2557,7 +2557,7 @@ def _grammar_oracle() -> str:
     iss AS (
       SELECT doc_id,
              cast(coalesce(list_sum(list_transform(sent_toks, tk -> {sent_issues})), 0) as int) AS grammar_issues,
-             len(regexp_extract_all(text, '\\S+')) AS words
+             coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS words
       FROM st)
     SELECT doc_id, grammar_issues,
            CASE WHEN words <= 0 THEN cast(1.0 as double)
