@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "token_counts_bpe",
     "lang_id_ngram_confusion",
     "media_features",
+    "orders_grouping_sets",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

@@ -1890,6 +1890,36 @@ def lang_id_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["lang_id_ngram_confusion"] = _lang_ngram_oracle()
 
 
+@_register(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(cast(sum(cast(round(o_totalprice, 6) as decimal(28,10))) as double), 4) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())
+    ORDER BY status, priority
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS coverage (multi-granularity aggregate in ONE pass —
+    Spark expands to a single shuffle, not one job per grain): order
+    counts + exact-decimal price sums by status, by priority, by both,
+    and grand total."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(cast(sum(cast(round(o_totalprice, 6) as decimal(28,10))) as double), 4) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())
+        ORDER BY status, priority
+    """)
+
+
 @_register("media_features")  # mapInPandas decode plumbing: rows-only
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing with driver visibility: binary media
