@@ -632,39 +632,44 @@ def duplicate_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_metrics(d, "text", "doc_id")
 
 
-def _sql_minhash_sig(tok: str, num_hashes: int, k: int = 3) -> str:
-    """DuckDB minhash signature: md5-derived base int per shingle, then
-    universal-hash permutations — EXACTLY the arithmetic in
-    operators/dedup.py (P=2^31-1, LCG-derived a_i/b_i)."""
+def _minhash_cte() -> str:
+    """Relational (unnest + group-by) MinHash CTE — the DuckDB twin of the
+    engine's explode-then-aggregate shape. The nested-lambda form
+    (list_transform(range(0,16), i -> min over re-derived base))
+    re-evaluates the shingle+md5 base once per
+    permutation inside DuckDB's evaluator too (same trap as Catalyst
+    CollapseProject): measured 28.6s vs 0.11s at sf0.01 for
+    bit-identical signatures. Final CTE names (sigs, banded) are the
+    contract the downstream oracle fragments build on."""
     from reviews_quality_check_spark.operators.dedup import (
         MINHASH_P, _A_MUL, _A_ADD, _B_MUL, _B_ADD,
     )
-    sh = f"list_distinct(list_transform(range(1, len({tok}) - {k - 2}), i -> {tok}[i] || ' ' || {tok}[i+1] || ' ' || {tok}[i+2]))"
-    base = f"list_transform({sh}, s -> ('0x' || substring(md5(s), 1, 15))::bigint % {MINHASH_P})"
-    perm = (f"((({_A_MUL}*i + {_A_ADD}) % {MINHASH_P}) * h"
-            f" + ({_B_MUL}*i + {_B_ADD}) % {MINHASH_P}) % {MINHASH_P}")
-    return (
-        f"list_transform(range(0, {num_hashes}), i -> "
-        f"list_aggregate(list_transform({base}, h -> {perm}), 'min'))"
-    )
 
-
-def _sql_lsh_bands(sig: str, bands: int, rpb: int) -> str:
-    return (
-        f"list_transform(range(0, {bands}), j -> "
-        f"md5(array_to_string(({sig})[j*{rpb}+1 : j*{rpb}+{rpb}], '|')))"
-    )
-
-
-_MINHASH_CTE = f"""
-    WITH sigs AS (
-      SELECT doc_id AS id,
-             {_sql_minhash_sig(sql_tokens('text'), 16)} AS sig
-      FROM documents
-      WHERE len({sql_tokens('text')}) >= 3),
+    toks = sql_tokens("text")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id, {toks} AS toks FROM documents
+      WHERE len({toks}) >= 3),
+    sh AS (
+      SELECT id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+      FROM tok),
+    hx AS (SELECT id, ('0x' || substring(md5(s), 1, 15))::bigint % {MINHASH_P} AS h FROM sh),
+    mins AS (
+      SELECT id, r.i,
+             min(((({_A_MUL}*r.i + {_A_ADD}) % {MINHASH_P}) * h
+                  + ({_B_MUL}*r.i + {_B_ADD}) % {MINHASH_P}) % {MINHASH_P}) AS m
+      FROM hx CROSS JOIN (SELECT cast(range as bigint) AS i FROM range(0, 16)) r
+      GROUP BY id, r.i),
+    sigs AS (SELECT id, list(m ORDER BY i) AS sig FROM mins GROUP BY id),
     banded AS (
-      SELECT id, unnest({_sql_lsh_bands('sig', 4, 4)}) AS band FROM sigs)
+      SELECT id, unnest(list_transform(range(0, 4),
+                 j -> md5(array_to_string(sig[j*4+1 : j*4+4], '|')))) AS band
+      FROM sigs)
 """
+
+
+_MINHASH_CTE = _minhash_cte()
 
 
 @_register(
