@@ -126,3 +126,31 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via session_window: per-key sessions
+    close after ``gap`` of inactivity, state bounded by the watermark.
+    The streaming twin of the batch events_sessionize query (which uses
+    a lag-window gap test); on a 10^12-event crawl log this is the shape
+    that holds — session state is per open session, not per event.
+
+    Output (append mode once sessions close): key, session_start,
+    session_end, n_events."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w").getField("start").alias("session_start"),
+            F.col("w").getField("end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -97,3 +97,46 @@ def test_streaming_dedup_drops_repeats_within_watermark(spark, tmp_path):
     q2.awaitTermination(120)
     got = sorted(r["url"] for r in spark.read.parquet(out).collect())
     assert got == ["u1", "u2", "u3"]  # u1 repeats (batch 1 AND batch 2) dropped
+
+
+def test_sessionize_stream_session_windows(spark, tmp_path):
+    """session_window sessions: events within the gap merge into one
+    session per user; a gap larger than 30min opens a new session."""
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.streaming.drift_stream import sessionize_stream
+
+    src, out, ck = str(tmp_path / "s"), str(tmp_path / "o"), str(tmp_path / "c")
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),  # session A (2)
+        (1, "2024-01-01 02:00:00"),                               # session B (1)
+        (2, "2024-01-01 00:05:00"),                               # session C (1)
+    ]
+    spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    ).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        q = (
+            sessionize_stream(stream, gap="30 minutes", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # sessions only emit once the watermark passes their close: append a
+    # late flush event so batch 2's watermark (03:50) closes session B
+    spark.createDataFrame([(99, "2024-01-01 04:00:00")], "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    ).write.mode("append").parquet(src)
+    run_once()
+    got = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == 2
+    assert got[(1, "2024-01-01 02:00:00")] == 1
+    assert got[(2, "2024-01-01 00:05:00")] == 1
