@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "lang_id_ngram_confusion",
     "media_features",
     "orders_grouping_sets",
+    "vocabulary_scores",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

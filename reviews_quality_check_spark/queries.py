@@ -1925,6 +1925,84 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@_register(
+    "vocabulary_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({sql_tokens('text')}) AS t FROM documents),
+    freq AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY t),
+    top30 AS (SELECT t FROM freq ORDER BY c DESC, t ASC LIMIT 30),
+    j AS (
+      SELECT tok.doc_id, tok.lang, tok.t,
+             NOT list_contains({_sql_list(sorted(STOPWORDS))}, tok.t) AS is_content,
+             tok.t NOT IN (SELECT t FROM top30) AS is_rare
+      FROM tok),
+    per_doc AS (
+      SELECT doc_id, lang,
+             count(*) AS n_tok,
+             sum(case when is_content then 1 else 0 end) AS n_content,
+             sum(case when is_content and is_rare then 1 else 0 end) AS n_rare,
+             count(DISTINCT case when is_content then t end) AS n_distinct_content
+      FROM j GROUP BY doc_id, lang),
+    scored AS (
+      SELECT lang,
+             (cast(n_content as double) / n_tok
+              + least(cast(n_rare as double) / greatest(n_distinct_content, 1), 1.0)) / 2.0 AS score
+      FROM per_doc)
+    SELECT lang, count(*) AS n_docs, {_sql_avg4('score')} AS avg_vocabulary_score
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def vocabulary_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary sophistication (reference linguistics.py:117-148)
+    re-expressed distributionally: lexical density = content (non-stop)
+    tokens / total, sophistication = rare content tokens / distinct
+    content tokens, where 'rare' = corpus frequency rank > 30 computed
+    from the data itself instead of spaCy's pretrained token.rank (no
+    model in env; the corpus rank is the distributed analog — documented
+    substitution). POS-based content-word filtering approximated by the
+    stopword complement (no tagger lexicon ambiguity); lemma counts
+    approximated by distinct tokens. Per-lang mean, oracle-gated."""
+    from reviews_quality_check_spark.functions.quality import STOPWORDS
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(TX.tokens("text")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # 'common' = top-30 corpus tokens via TakeOrderedAndProject + broadcast
+    # anti-flag — a global rank window over the whole vocabulary would
+    # single-partition billions of distinct tokens at web scale
+    top30 = freq.orderBy(F.desc("c"), F.asc("t")).limit(30).select(
+        F.col("t").alias("t"), F.lit(True).alias("__common")
+    )
+    stops = F.array(*[F.lit(s) for s in sorted(STOPWORDS)])
+    j = tok.join(F.broadcast(top30), "t", "left").select(
+        "doc_id", "lang",
+        "t",
+        (~F.array_contains(stops, F.col("t"))).alias("is_content"),
+        F.col("__common").isNull().alias("is_rare"),
+    )
+    per_doc = j.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.col("is_content").cast("long")).alias("n_content"),
+        F.sum((F.col("is_content") & F.col("is_rare")).cast("long")).alias("n_rare"),
+        F.countDistinct(F.when(F.col("is_content"), F.col("t"))).alias("n_distinct_content"),
+    )
+    score = (
+        F.col("n_content").cast("double") / F.col("n_tok")
+        + F.least(
+            F.col("n_rare").cast("double") / F.greatest(F.col("n_distinct_content"), F.lit(1)),
+            F.lit(1.0),
+        )
+    ) / F.lit(2.0)
+    return (
+        per_doc.select("lang", score.alias("score"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), _avg4(F.col("score")).alias("avg_vocabulary_score"))
+        .orderBy("lang")
+    )
+
+
 @_register("media_features")  # mapInPandas decode plumbing: rows-only
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing with driver visibility: binary media
