@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "media_features",
     "orders_grouping_sets",
     "vocabulary_scores",
+    "sentence_length_variety",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)
