@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "orders_grouping_sets",
     "vocabulary_scores",
     "sentence_length_variety",
+    "duplicate_metrics_reviews",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

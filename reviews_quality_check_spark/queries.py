@@ -2234,6 +2234,34 @@ def events_in_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_metrics_reviews_oracle() -> str:
+    from reviews_quality_check_spark.sources.reviews import sql_synth_reviews
+
+    return f"""
+    WITH rev AS (SELECT * FROM {sql_synth_reviews(2000)}),
+    g AS (
+      SELECT count(*) AS gs FROM rev
+      GROUP BY md5({sql_norm_text('text')}) HAVING count(*) >= 2)
+    SELECT cast(coalesce(sum(gs - 1), 0) as bigint) AS duplicates_found,
+           count(*) AS duplicate_groups
+    FROM g
+    """
+
+
+@_register("duplicate_metrics_reviews", oracle=None)
+def duplicate_metrics_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate metrics over the reviews fixture (~2% planted dups) —
+    the documents table has no exact duplicates, so this twin verifies
+    the A2 metrics against REAL non-zero values cross-engine."""
+    from reviews_quality_check_spark.operators.dedup import duplicate_metrics
+    from reviews_quality_check_spark.sources.reviews import synth_reviews
+
+    return duplicate_metrics(synth_reviews(spark, 2000), "text", "id")
+
+
+ORACLES["duplicate_metrics_reviews"] = _dup_metrics_reviews_oracle()
+
+
 def _keep_first_oracle() -> str:
     from reviews_quality_check_spark.sources.reviews import sql_synth_reviews
 
