@@ -34,29 +34,38 @@ def ngram_diversity(
     corpus. Unigrams are stopword-filtered (reference
     review_analysis.py:494-497); bi/trigrams are not.
 
-    Three map-only explode+aggregate passes (one per n). A measured
-    single-pass variant (concat of (n, gram)-tagged struct arrays,
-    explode once, pivot) was 1.5x SLOWER: the per-element struct tagging
-    costs more than re-scanning a column-pruned table, and the distinct
-    aggregation -- the actual bottleneck -- is identical either way.
-    NB: Spark binds two-parameter transform() lambdas as
-    (element, index); a `lambda g, n=n:` closure silently receives the
-    array index as n.
+    Plan shape (measured at sf0.1, identical values):
+      - round-1 word_ngrams HOF (sequence+transform+element_at per gram):
+        ~12s — per-element interpreted evaluation;
+      - single-pass tagged-struct variant: ~18s;
+      - posexplode + lead() windows: ~1.3s but shuffles every token;
+      - THIS: explode(arrays_zip(slice, slice, slice)) + concat_ws —
+        ~0.85s, map-only (no shuffle, native generator), 14x.
+    Still three scans of a column-pruned table: re-scanning parquet is
+    cheaper than anything that re-derives grams per element.
     """
     distinct_fn = F.countDistinct if exact else F.approx_count_distinct
-    parts = []
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    tok = tokens(text_col)
+    out = None
     for n, name in ((1, "unigram"), (2, "bigram"), (3, "trigram")):
-        grams = df.select(
-            F.explode(_ngram_col(text_col, n, remove_stopwords=(n == 1))).alias("ng")
-        )
-        parts.append(
-            grams.agg(
-                (distinct_fn("ng").cast("double") / F.count("ng").cast("double")).alias(
-                    f"{name}_diversity"
-                )
+        if n == 1:
+            grams = df.select(
+                F.explode(F.filter(tok, lambda t: ~F.array_contains(stops, t))).alias("ng")
+            )
+        else:
+            m = F.greatest(F.size(tok) - (n - 1), F.lit(0))
+            z = F.arrays_zip(*[F.slice(tok, i + 1, m) for i in range(n)])
+            grams = df.select(F.explode(z).alias("z")).select(
+                F.concat_ws(" ", *[F.col(f"z.{i}") for i in range(n)]).alias("ng")
+            )
+        piece = grams.agg(
+            (distinct_fn("ng").cast("double") / F.count("ng").cast("double")).alias(
+                f"{name}_diversity"
             )
         )
-    return parts[0].crossJoin(parts[1]).crossJoin(parts[2])
+        out = piece if out is None else out.crossJoin(piece)
+    return out
 
 
 def ngram_frequencies(
