@@ -15,6 +15,14 @@ exactly the plan you'd want at 10^12 rows.
 
 Tie rule: right rows sort BEFORE left rows at equal ts, so an equal
 timestamp matches (inclusive bound, same as DuckDB ASOF's `>=`).
+
+The matched right row is carried as ONE packed struct (not per-column
+`last(ignorenulls)`), so a NULL inside a matched right row stays NULL in
+the output instead of being stitched from an older right row — the
+merge_asof/DuckDB semantic (attach the single matched row, nulls
+included). Duplicate (key, ts) right rows are resolved deterministically:
+the window also orders by the packed struct, so the field-wise-greatest
+right row wins regardless of shuffle order.
 """
 
 from __future__ import annotations
@@ -36,15 +44,25 @@ def asof_join(
     """Left as-of join: every left row, plus ``prefix<col>`` columns from
     the nearest prior (or simultaneous) right row per key; nulls when no
     right row precedes. Right value columns must not collide with left
-    column names after prefixing."""
+    column names after prefixing.
+
+    The matched right row travels as a single struct, so per-column nulls
+    of the matched row are preserved (never back-filled from older right
+    rows). Right value columns must be orderable types (the struct doubles
+    as the deterministic tie-break among duplicate (key, ts) right rows:
+    the field-wise-greatest row wins)."""
+    from pyspark.sql import types as T
+
     keys = list(key_cols)
+    rv_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in right_value_cols]
+    )
     l = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
-          for c in right_value_cols],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     r = right.select(
         *keys,
@@ -52,26 +70,26 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in keys and c != left_ts],
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_value_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_value_cols]).alias("__rv"),
     )
     u = l.unionByName(r)
+    # __rv ascending as the final key: left rows carry NULL (sorts first),
+    # duplicate-(key, ts) right rows resolve to the greatest struct — a
+    # deterministic winner independent of shuffle order.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rv").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
         *u.columns,
-        *[
-            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in right_value_cols
-        ],
+        F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__c"),
     )
     out_cols = (
         keys
         + [F.col("__ts").alias(left_ts)]
         + [c for c in left.columns if c not in keys and c != left_ts]
-        + [F.col(f"__c_{c}").alias(f"{prefix}{c}") for c in right_value_cols]
+        + [F.col(f"__c.{c}").alias(f"{prefix}{c}") for c in right_value_cols]
     )
     return carried.filter(F.col("__side") == 1).select(*out_cols)
 

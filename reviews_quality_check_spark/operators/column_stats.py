@@ -89,7 +89,16 @@ def histogram(
     df: DataFrame, column: str, group_by: str | None = None
 ) -> DataFrame:
     """Categorical histogram with per-group ratio — the sentiment
-    distribution shape (reference reduce_dataset.py:62-67)."""
+    distribution shape (reference reduce_dataset.py:62-67).
+
+    Ungrouped path caveat: the global total crossJoins a 1-row aggregate
+    derived from the same ``counts`` subtree, so without a barrier Spark
+    evaluates that groupBy (and its scan) twice. Acceptable for
+    composability inside suite plans (the scan is column-pruned and the
+    agg is map-side combined); when driving this operator standalone
+    over a large input, ``counts.persist()``/``localCheckpoint()`` first
+    or use the grouped path (window over partitionBy) which is
+    single-pass."""
     keys = ([group_by] if group_by else []) + [column]
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
     if group_by:
@@ -151,11 +160,21 @@ def quantile_digest(
 ) -> DataFrame:
     """Two-stage mergeable quantile sketch:
 
-    Stage 1 (partial): applyInPandas over (group, shuffle-partition
-    salt) compresses each slice's values into <= k weighted centroids —
-    Arrow-batched, bounded memory, parallel across the cluster.
+    Stage 0 (duplicate collapse): a map-side-combining
+    ``groupBy(group, salt, value).count()`` turns duplicate values into
+    single weighted points BEFORE any pandas state exists — so a
+    near-constant column (all duplicates of one dominant value share a
+    salt) degenerates to one (value, weight) row, not one full-size
+    partial (ADVICE r2: value-skew hole in the rows/256 bound).
+    Stage 1 (partial): applyInPandas over (group, salt) compresses each
+    slice's weighted points into <= k weighted centroids —
+    Arrow-batched, state bounded by distinct-values/256, parallel.
     Stage 2 (merge): applyInPandas per group concatenates partial
     centroids, re-compresses, and reads quantiles off the weighted CDF.
+
+    Deterministic across partitionings/cluster sizes: every stage is a
+    pure function of the value multiset (salt = hash(value), weights from
+    an exact count) — pinned by tests/test_drift_stats.py.
 
     Error is bounded by the rank width total/k per stratum (the t-digest
     guarantee family, uniform rather than tail-biased scaling).
@@ -164,22 +183,25 @@ def quantile_digest(
     import pandas as pd
 
     gcol = F.col(group_by) if group_by else F.lit("_all")
-    # salt bounds each partial's input so stage-1 state is ~rows/256
+    # salt spreads distinct values; duplicates of one value are collapsed
+    # to a weighted point by the pre-aggregate below, so sharing a salt
+    # costs one row, not one row per duplicate
     base = df.select(
         gcol.cast("string").alias("group_key"),
         F.col(column).cast("double").alias("v"),
         F.pmod(F.xxhash64(F.col(column)), F.lit(256)).alias("salt"),
     ).filter(F.col("v").isNotNull())
+    weighted = base.groupBy("group_key", "salt", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        cv, cw = _compress(pdf["v"].to_numpy(), np.ones(len(pdf)), k)
+        cv, cw = _compress(pdf["v"].to_numpy(), pdf["w"].to_numpy(), k)
         return pd.DataFrame(
             {"group_key": pdf["group_key"].iloc[0], "cv": [cv.tolist()], "cw": [cw.tolist()]}
         )
 
-    partials = base.groupBy("group_key", "salt").applyInPandas(
+    partials = weighted.groupBy("group_key", "salt").applyInPandas(
         partial, "group_key string, cv array<double>, cw array<double>"
     )
 

@@ -27,6 +27,10 @@ from reviews_quality_check_spark.functions import quality as Q
 from reviews_quality_check_spark.functions import readability as R
 from reviews_quality_check_spark.functions import sentiment_rules as SR
 from reviews_quality_check_spark.functions import text as TX
+from reviews_quality_check_spark.sources.planted import (
+    sql_planted_documents as _SQL_PLANTED_DOCS,
+    sql_planted_embeddings as _SQL_PLANTED_EMB,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -588,20 +592,29 @@ def bigram_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "exact_dup_groups",
     oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM {_SQL_PLANTED_DOCS()})
     SELECT md5({sql_norm_text('text')}) AS fingerprint,
            array_to_string(list_sort(list(doc_id)), ',') AS member_ids,
            count(*) AS group_size
-    FROM documents
+    FROM docs
     GROUP BY 1 HAVING count(*) >= 2
     ORDER BY fingerprint
     """,
 )
 def exact_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate groups (A1): hash aggregate on the md5 fingerprint;
-    member list serialized for engine-independent comparison."""
+    member list serialized for engine-independent comparison. The
+    driver's synthetic corpus has no literal duplicates, so deterministic
+    planted rows (sources/planted.py) are unioned in on BOTH engines —
+    the gate certifies group arithmetic AND the normalize chain on
+    non-empty results at every scale factor."""
     from reviews_quality_check_spark.operators.dedup import exact_dup_groups
+    from reviews_quality_check_spark.sources.planted import planted_documents
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").unionByName(planted_documents(spark))
     g = exact_dup_groups(d, "text", "doc_id")
     return g.select(
         "fingerprint",
@@ -2044,7 +2057,9 @@ def sentence_length_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = s.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).alias("n_sent"),
         F.sum("n").cast("long").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+        # cast BEFORE multiplying: int32*int32 silently overflows for
+        # >46340-token sentences while the DuckDB oracle sums in BIGINT
+        F.sum(F.col("n").cast("long") * F.col("n")).alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n_sent")
     var = F.greatest(
@@ -2083,9 +2098,16 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     out = extract_media_features(media, dim=8, fake=True)
+    # array<float> serialized to a scalar string: the driver's pandas
+    # canonicalizer cannot sort/hash list cells (CORRECTNESS_r02 err rows)
     return out.select(
         "media_id", "kind", "feat_dim",
-        F.transform("features", lambda x: F.round(x, 4)).alias("features"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features", lambda x: F.format_string("%.4f", x.cast("double"))
+            ),
+        ).alias("features_csv"),
         "decode_ok",
     ).orderBy("media_id")
 
@@ -2101,10 +2123,17 @@ def nchars_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     out = quantile_digest(d, "n_chars", group_by="lang", k=128)
+    # array<double> serialized to a scalar string: the driver's pandas
+    # canonicalizer cannot sort/hash list cells (CORRECTNESS_r02 err rows)
     return out.select(
         "group_key",
         F.col("n").cast("long").alias("n"),
-        F.transform(F.col("quantiles"), lambda x: F.round(x, 4)).alias("quantiles"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("quantiles"), lambda x: F.format_string("%.4f", x)
+            ),
+        ).alias("quantiles_csv"),
     ).orderBy("group_key")
 
 
@@ -2443,21 +2472,32 @@ def exact_dup_groups_gated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _combined_sql(block: int, t1: float, t2: float, t3: float, dup: float) -> str:
-    """DuckDB mirror of operators.similarity_blocked.combined_similar_pairs."""
+    """DuckDB mirror of operators.similarity_blocked.combined_similar_pairs.
+    Planted near-dup rows (sources/planted.py) are unioned into both
+    tables on both engines so the strict reference tiers certify
+    non-empty results at every scale factor."""
     return f"""
-    WITH nv AS (
+    WITH embs AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id, embedding FROM {_SQL_PLANTED_EMB()}),
+    docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM {_SQL_PLANTED_DOCS()}),
+    nv AS (
       SELECT vec_id,
              list_transform(embedding, x -> cast(x as double) /
                sqrt(list_reduce(list_transform(embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y))
              ) AS nv
-      FROM embeddings
+      FROM embs
       WHERE list_reduce(list_transform(embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y) > 0),
     doc AS (
       SELECT doc_id AS id, cast(floor(doc_id / {block}) as bigint) AS block_id,
              {_sql_fp_exact('text')} AS fp,
              len({_sql_words('text')}) <= 50 AS short,
              {_sql_simset('text')} AS ngset
-      FROM documents),
+      FROM docs),
     base AS (SELECT d.*, v.nv FROM doc d JOIN nv v ON v.vec_id = d.id),
     pairs AS (
       SELECT a.block_id, a.id AS id_a, b.id AS id_b,
@@ -2496,15 +2536,20 @@ def combined_similar_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11: reference-exact combined similarity (embed cosine + ngram
     Jaccard) / 2 with the reference tier elif chain (config.py:19-23)
     and the strict-> dup threshold (config.py:11). Synthetic embeddings
-    are uncorrelated with text, so this is 0 rows on testdata; the
-    low-threshold twin below and tests/test_blocked_similarity.py
-    exercise non-empty tiers."""
+    are uncorrelated with text, so the driver corpus alone yields 0 rows;
+    deterministic planted near-dup rows (sources/planted.py) are unioned
+    in on BOTH engines so all three reference tiers certify non-empty
+    results at every scale factor (VERDICT r2 item #2)."""
     from reviews_quality_check_spark.operators.similarity_blocked import (
         combined_similar_pairs,
     )
+    from reviews_quality_check_spark.sources.planted import (
+        planted_documents,
+        planted_embeddings,
+    )
 
-    d = _t(spark, sf_dir, "documents")
-    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents").unionByName(planted_documents(spark))
+    e = _t(spark, sf_dir, "embeddings").unionByName(planted_embeddings(spark))
     return combined_similar_pairs(d, e, block_size=100).orderBy(
         "block_id", "id_a", "id_b"
     )
@@ -2517,13 +2562,18 @@ def combined_similar_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def combined_similar_pairs_low_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11 at lowered tier thresholds (0.9/0.8/0.5) — same operator and
     elif semantics, tuned to yield non-empty results on the synthetic
-    tables so the driver hash-checks real similarity values."""
+    tables so the driver hash-checks real similarity values (plus the
+    planted near-dup rows, same as the strict variant)."""
     from reviews_quality_check_spark.operators.similarity_blocked import (
         combined_similar_pairs,
     )
+    from reviews_quality_check_spark.sources.planted import (
+        planted_documents,
+        planted_embeddings,
+    )
 
-    d = _t(spark, sf_dir, "documents")
-    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents").unionByName(planted_documents(spark))
+    e = _t(spark, sf_dir, "embeddings").unionByName(planted_embeddings(spark))
     return combined_similar_pairs(
         d, e, block_size=100, tiers=(0.9, 0.8, 0.5)
     ).orderBy("block_id", "id_a", "id_b")
@@ -2864,12 +2914,16 @@ def scored_sentiments(spark: SparkSession, sf_dir: str) -> DataFrame:
                j -> ('0x' || substring(md5(i::varchar || ':' || j::varchar), 1, 8))::bigint
                     / 4294967295.0 * 2.0 - 1.0) AS p
       FROM range(0, {_LSH_BANDS * _LSH_R}) t(i)),
+    embs AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id, embedding FROM {_SQL_PLANTED_EMB()}),
     base AS (
       SELECT vec_id, embedding,
              list_transform(embedding, x -> cast(x as double) /
                sqrt(list_reduce(list_transform(embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y))
              ) AS nv
-      FROM embeddings
+      FROM embs
       WHERE list_reduce(list_transform(embedding, v -> cast(v as double) * cast(v as double)), (x, y) -> x + y) > 0),
     dots AS (
       SELECT b.vec_id, pl.pid,
@@ -2904,10 +2958,14 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4dp cosines are bit-matched across engines. Reference anchor:
     analyzers/similarity.py:264-269 (block-diagonal, never all-pairs).
     The exact all-pairs baseline survives as a pytest crosscheck
-    (tests/test_ann.py) at fixture scale."""
+    (tests/test_ann.py) at fixture scale. Deterministic planted
+    near-identical vectors (sources/planted.py) are unioned in on BOTH
+    engines so the cos>=0.9 gate certifies non-empty results at every
+    scale factor (VERDICT r2 item #2)."""
     from reviews_quality_check_spark.operators.ann import near_dup_pairs_lsh
+    from reviews_quality_check_spark.sources.planted import planted_embeddings
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").unionByName(planted_embeddings(spark))
     return near_dup_pairs_lsh(
         e, dim=_EMB_DIM, threshold=0.9, bands=_LSH_BANDS, rows_per_band=_LSH_R
     ).orderBy("id_a", "id_b")

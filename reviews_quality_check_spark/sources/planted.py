@@ -1,0 +1,155 @@
+"""Planted positive rows for the strict-threshold duplicate/similarity
+gates (VERDICT r2 "What's wrong" #2).
+
+The driver-generated synthetic tables contain no exact-duplicate texts
+and no embedding pairs above cos 0.9 at sf<=0.01, so `exact_dup_groups`,
+`combined_similar_pairs` (reference tiers), and `embedding_near_dups`
+were hash-green on EMPTY result sets — certifying the join shape but not
+the arithmetic. These fixtures union a tiny deterministic set of planted
+rows (negative ids, disjoint from every real id at any scale factor)
+into those three queries so the driver certifies non-trivial rows:
+
+- three exact-dup text groups, one of which only collapses under the
+  normalize chain (lower + trim + whitespace-collapse, F1/F2) — so the
+  gate now also certifies normalization, not just md5-equality;
+- two long near-duplicate text pairs (>50 words, so the reference's
+  short-exact-dup exclusion gate is exercised on its *pass* branch)
+  paired with identical / slightly-perturbed embeddings, landing in
+  tier1/tier2/tier3 of the reference elif chain (config.py:19-23);
+- an identical embedding pair (cos exactly 1.0) plus perturbed pairs
+  (~0.99, ~0.95) for the LSH near-dup gate.
+
+Everything is emitted as plain literals on BOTH engines (pure-Python
+deterministic construction, float32-safe 6dp values), so cross-engine
+bit-identity is trivial: each engine parses the same decimal literal.
+Reference anchors: analyzers/similarity.py:235 (exact key),
+analyzers/similarity.py:264-269 (block pairing), configs/config.py:11-23
+(thresholds/tiers).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+
+# ---------------------------------------------------------------------------
+# documents: (doc_id BIGINT, text, lang, source, n_chars BIGINT)
+# negative ids -> block_id floor(id/100) = -1 for ids -1..-100, disjoint
+# from every real doc_id (real ids are >= 0 at every scale factor).
+# ---------------------------------------------------------------------------
+
+_LONG_A = (
+    "the planted long review describes a sturdy keyboard with quiet keys "
+    "and a steady metal frame that survives daily travel while the "
+    "battery lasts a full week of heavy typing and the wireless link "
+    "never drops even in a crowded office so the overall impression "
+    "after two months of constant use remains clearly positive and the "
+    "price still feels fair for what the device delivers every day"
+)
+# same sentence with a handful of word substitutions: high (not perfect)
+# n-gram Jaccard against _LONG_A
+_LONG_A2 = _LONG_A.replace("sturdy", "solid").replace("quiet", "silent").replace(
+    "crowded", "busy"
+)
+_LONG_B = (
+    "this planted medium review covers a compact speaker with warm sound "
+    "and a simple charging dock that fits on a narrow shelf while the "
+    "firmware updates arrive on schedule and the pairing works with "
+    "three phones at once so the verdict after a season of parties "
+    "stays mostly favorable although the bass gets muddy at top volume "
+    "and the buttons feel loose compared to the first unit we owned"
+)
+_LONG_B2 = _LONG_B.replace("warm", "rich").replace("narrow", "small").replace(
+    "muddy", "boomy"
+).replace("loose", "wobbly").replace("season", "summer")
+
+_SHORT_DUP = "planted short duplicate review alpha"
+_WS_DUP_1 = "Planted Whitespace  Dup Beta"
+_WS_DUP_2 = "  planted   whitespace dup beta "
+
+# (doc_id, text) — ids -1..-5 also get embeddings (combined-similarity
+# block -1); -6..-10 are text-only exact-dup groups.
+_PLANTED_DOCS = (
+    (-1, _LONG_A),
+    (-2, _LONG_A),      # identical long text: exact fp match but NOT short
+    (-3, _LONG_A2),     # near-dup of A
+    (-4, _LONG_B),
+    (-5, _LONG_B2),     # near-dup of B
+    (-6, _SHORT_DUP),
+    (-7, _SHORT_DUP),
+    (-8, _SHORT_DUP),   # 3-member exact group
+    (-9, _WS_DUP_1),
+    (-10, _WS_DUP_2),   # collapses only under normalize chain
+)
+
+
+def planted_documents(spark: SparkSession) -> DataFrame:
+    rows = [
+        (int(i), t, "en", "planted", len(t)) for i, t in _PLANTED_DOCS
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1)
+
+
+def sql_planted_documents() -> str:
+    """DuckDB VALUES subquery with the identical rows (texts contain no
+    single quotes by construction)."""
+    vals = ", ".join(
+        f"({i}, '{t}', 'en', 'planted', {len(t)})" for i, t in _PLANTED_DOCS
+    )
+    return (
+        "(SELECT * FROM (VALUES " + vals + ") "
+        "v(doc_id, text, lang, source, n_chars))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: (vec_id BIGINT, embedding FLOAT[], label INTEGER)
+# ---------------------------------------------------------------------------
+
+
+def _md5_unit(salt: str, j: int) -> float:
+    """Deterministic pseudo-random in [-1, 1), 6dp (exact in float32)."""
+    h = hashlib.md5(f"{salt}:{j}".encode()).hexdigest()
+    return round(int(h[:8], 16) / 4294967295.0 * 2.0 - 1.0, 6)
+
+
+@lru_cache(maxsize=None)
+def _planted_vecs() -> tuple:
+    v1 = [_md5_unit("plantA", j) for j in range(EMB_DIM)]
+    # small perturbation -> cos ~0.995 vs v1
+    v1p = [round(x + (0.03 if j < 4 else 0.0), 6) for j, x in enumerate(v1)]
+    v2 = [_md5_unit("plantB", j) for j in range(EMB_DIM)]
+    # larger perturbation -> cos ~0.95 vs v2
+    v2p = [round(x + (0.12 if j % 8 == 0 else 0.0), 6) for j, x in enumerate(v2)]
+    # (vec_id, vector, label)
+    return (
+        (-1, v1, 9),
+        (-2, v1, 9),    # identical pair: cos exactly 1.0
+        (-3, v1p, 9),
+        (-4, v2, 9),
+        (-5, v2p, 9),
+    )
+
+
+def planted_embeddings(spark: SparkSession) -> DataFrame:
+    rows = [(int(i), [float(x) for x in v], int(lb)) for i, v, lb in _planted_vecs()]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1)
+
+
+def sql_planted_embeddings() -> str:
+    def arr(v):
+        return "[" + ", ".join(repr(x) for x in v) + "]::FLOAT[]"
+
+    vals = ", ".join(
+        f"({i}, {arr(v)}, {lb})" for i, v, lb in _planted_vecs()
+    )
+    return "(SELECT * FROM (VALUES " + vals + ") v(vec_id, embedding, label))"

@@ -76,6 +76,39 @@ def test_asof_join_semantics(spark):
     assert got["p2"] is None  # key 2's right row is later; key 1 invisible
 
 
+def test_asof_join_matched_row_nulls_and_dup_ties(spark):
+    """The matched right row travels as ONE struct: a NULL field in the
+    matched row stays NULL (never back-filled from an older right row),
+    and duplicate-(key, ts) right rows resolve deterministically to the
+    field-wise-greatest row (ADVICE r2 medium)."""
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", "pA"), (2, "2024-01-01 00:10:00", "pB")],
+        "k long, ts string, pid string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        # key 1: older row has v=5,w='old'; NEWER matched row has v NULL.
+        # key 2: two right rows share ts 00:02 -> greatest struct wins.
+        [(1, "2024-01-01 00:01:00", 5, "old"),
+         (1, "2024-01-01 00:05:00", None, "new"),
+         (2, "2024-01-01 00:02:00", 7, "x"),
+         (2, "2024-01-01 00:02:00", 9, "y")],
+        "k long, ts string, v int, w string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {
+        r["pid"]: (r["asof_v"], r["asof_w"])
+        for r in asof_join(
+            left, right, key_cols=("k",), left_ts="ts", right_ts="ts",
+            right_value_cols=("v", "w"),
+        ).collect()
+    }
+    assert rows["pA"] == (None, "new")  # NULL not stitched from the old row
+    assert rows["pB"] == (9, "y")       # deterministic duplicate-ts winner
+
+
 def test_range_join_bucketed_boundaries(spark):
     """Inclusive bounds on both ends; points outside excluded; intervals
     spanning multiple buckets still match exactly once per point."""
