@@ -190,6 +190,27 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return [v / n for v in vals]
 
 
+def fixed_centroids(dim: int, n_cells: int) -> list[list[float]]:
+    """Deterministic md5-derived coarse-quantizer centroids (same
+    construction as the LSH hyperplanes): engine-portable, so a SQL
+    oracle reproduces cell assignment bit-for-bit. A fixed quantizer is
+    a legitimate IVF variant (cells need only partition the space;
+    KMeans merely balances occupancy) — it trades balanced cells for a
+    model-free, certifiable assignment stage."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"c{i}:{j}".encode()).hexdigest()[:8], 16)
+            / 4294967295.0
+            * 2.0
+            - 1.0
+            for j in range(dim)
+        ]
+        for i in range(n_cells)
+    ]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -199,23 +220,27 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: seeded KMeans partitions the corpus into
-    ``n_cells`` Voronoi cells; each query searches only its ``n_probe``
-    nearest cells, with exact cosine rerank inside.
+    """IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    into ``n_cells`` Voronoi cells; each query searches only its
+    ``n_probe`` nearest cells, with exact cosine rerank inside.
 
-    The coarse quantizer trains on the corpus (distributed KMeans); cell
-    centroids broadcast as literals, so assignment is a pure expression.
-    Recall < 1 by construction — raise n_probe to trade compute for
-    recall. Scale: corpus scan is one pass; the probe join fans each
-    query out to n_probe cells only.
+    The coarse quantizer trains on the corpus (distributed seeded
+    KMeans) unless ``centroids`` is given (e.g. fixed_centroids() for a
+    SQL-certifiable assignment stage); cell centroids broadcast as
+    literals, so assignment is a pure expression. Recall < 1 by
+    construction — raise n_probe to trade compute for recall. Scale:
+    corpus scan is one pass; the probe join fans each query out to
+    n_probe cells only.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+        train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+        km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+        centroids = [list(map(float, c)) for c in km.clusterCenters()]
 
     def dist2(vec: Column, center: list[float]) -> Column:
         carr = F.array(*[F.lit(x) for x in center])

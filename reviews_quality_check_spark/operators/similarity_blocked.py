@@ -208,11 +208,21 @@ def combined_similar_pairs(
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     union = F.col("n_a") + F.col("n_b") - inter
     nsim = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    # NB: an unrolled 64-term element_at chain was tried here and MEASURED
+    # SLOWER than the zip_with fold (13.1s vs 9.9s at sf0.1; the giant
+    # expression tree defeats codegen) — keep the HOF dot.
     esim = dot(F.col("nv_a"), F.col("nv_b"))
+    # two-step projection: deriving comb from the ALIASED esim/nsim makes
+    # the zip_with dot product evaluate once per pair. (Building esim and
+    # esim+nsim in one select compiled the HOF twice; CollapseProject
+    # keeps this split because the alias is multiply-referenced and
+    # non-cheap.)
     scored = pairs.select(
         "block_id", "id_a", "id_b",
         esim.alias("esim"), nsim.alias("nsim"),
-        ((esim + nsim) / F.lit(2.0)).alias("comb"),
+    ).select(
+        "block_id", "id_a", "id_b", "esim", "nsim",
+        ((F.col("esim") + F.col("nsim")) / F.lit(2.0)).alias("comb"),
     )
     tier = (
         F.when(F.col("comb") >= t1, F.lit("tier1"))

@@ -3019,15 +3019,65 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@_register("ann_ivf_topk")  # KMeans centroids: rows-only check
+@_register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT cast(i as int) AS cell,
+             list_transform(range(0, {_EMB_DIM}),
+               j -> ('0x' || substring(md5('c' || i::varchar || ':' || j::varchar), 1, 8))::bigint
+                    / 4294967295.0 * 2.0 - 1.0) AS c
+      FROM range(0, 8) t(i)),
+    dists AS (
+      SELECT v.vec_id, ct.cell,
+             list_reduce(list_transform(range(1, {_EMB_DIM} + 1),
+               i -> (cast(v.embedding[i] as double) - ct.c[i])
+                    * (cast(v.embedding[i] as double) - ct.c[i])), (a, b) -> a + b) AS d
+      FROM embeddings v CROSS JOIN cent ct),
+    cellrank AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+      FROM dists),
+    corp AS (
+      SELECT r.vec_id AS neighbor_id, r.cell, e.embedding AS cv
+      FROM cellrank r JOIN embeddings e ON e.vec_id = r.vec_id WHERE r.rk = 1),
+    qry AS (
+      SELECT r.vec_id AS query_id, r.cell, e.embedding AS qv
+      FROM cellrank r JOIN embeddings e ON e.vec_id = r.vec_id
+      WHERE r.rk <= 2 AND r.vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_reduce(list_transform(range(1, {_EMB_DIM} + 1),
+                         i -> cast(q.qv[i] as double) * cast(c.cv[i] as double)),
+                         (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(q.qv, x -> cast(x as double) * cast(x as double)), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(c.cv, x -> cast(x as double) * cast(x as double)), (a, b) -> a + b)))
+             AS cos_sim
+      FROM corp c JOIN qry q ON c.cell = q.cell AND c.neighbor_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (coarse KMeans quantizer + n_probe cell search + exact
-    cosine rerank) — the inverted-file scale path for similarity search."""
-    from reviews_quality_check_spark.operators.ann import ivf_topk
+    """IVF ANN (coarse quantizer + n_probe cell search + exact cosine
+    rerank) — the inverted-file scale path for similarity search. The
+    driver-facing variant uses md5-derived FIXED centroids so the full
+    assignment + probe + rerank math is certified against the DuckDB
+    oracle bit-for-bit (VERDICT r2 item #3); the KMeans-fitted quantizer
+    is the same operator with centroids=None, pytest-gated for recall
+    and exhaustive-probe==brute-force invariants."""
+    from reviews_quality_check_spark.operators.ann import fixed_centroids, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    out = ivf_topk(e, q, k=5, n_cells=8, n_probe=2)
+    out = ivf_topk(
+        e, q, k=5, n_cells=8, n_probe=2, centroids=fixed_centroids(_EMB_DIM, 8)
+    )
     return out.select(
         "query_id",
         "neighbor_id",
