@@ -51,9 +51,69 @@ def renumber(df: DataFrame, order_col: str, id_name: str = "new_id") -> DataFram
     """Sequential 1-based renumbering (reference reduce_dataset.py:55-56).
 
     NB: row_number over a global ordering is a single-reducer operation —
-    correct but not for 10^12 rows. At scale prefer
-    ``monotonically_increasing_id`` or zipWithIndex-style per-partition
-    offsets; this operator exists for reference parity on bounded data.
+    correct but not for 10^12 rows. ``renumber_scalable`` below is the
+    same contract via per-partition offsets (zipWithIndex shape); this
+    variant exists for reference parity on bounded data and as the
+    pytest-equality oracle for the scalable one.
     """
     w = Window.orderBy(F.col(order_col))
     return df.withColumn(id_name, F.row_number().over(w))
+
+
+def renumber_scalable(
+    df: DataFrame,
+    order_col: str,
+    id_name: str = "new_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sequential 1-based renumbering that scales: range-partition on the
+    order column, count rows per partition (one cheap column-pruned job,
+    n_partitions rows to the driver), then assign
+    ``offset[partition] + partition-local row_number`` — the zipWithIndex
+    shape. No global single-reducer sort anywhere; each partition sorts
+    only itself.
+
+    Equal to ``renumber`` whenever ``order_col`` is a total order (unique
+    values) — pinned by tests/test_reference_suite.py. With duplicate
+    order keys the ids of tied rows depend on which side of a range
+    boundary they land (the global-window variant has the same tie
+    ambiguity inside its single reducer); require a unique key, as the
+    reference's renumber does (it numbers a positioned list).
+
+    Determinism note — the range layout MUST be pinned before it is read
+    twice: RangePartitioner samples its boundaries per exchange, and the
+    count branch gets a column-pruned (hence canonically different, NOT
+    reused) exchange whose boundaries drift from the numbering branch's
+    (measured: ids off by ±tens). ``localCheckpoint`` materializes the
+    ranged partitions once so both passes read identical blocks — the
+    same two-pass shape as RDD.zipWithIndex. On a real cluster prefer
+    checkpointing the ranged table to reliable storage (the runner's
+    Iceberg-style checkpoint pattern) so executor loss cannot invalidate
+    the pinned layout mid-run.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    off_arr = F.array(*[F.lit(int(o)).cast("long") for o in offsets])
+    w = Window.partitionBy("__pid").orderBy(F.col(order_col))
+    return (
+        ranged.withColumn(
+            id_name,
+            (F.element_at(off_arr, F.col("__pid") + 1) + F.row_number().over(w)).cast(
+                "long"
+            ),
+        )
+        .drop("__pid")
+    )

@@ -3084,3 +3084,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_sim", 4).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+@_register(
+    "renumber_docs",
+    oracle="""
+    SELECT doc_id,
+           cast(row_number() OVER (ORDER BY md5(doc_id::varchar)) as bigint) AS new_id
+    FROM documents ORDER BY doc_id
+    """,
+)
+def renumber_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 sequential renumbering on the SCALE path: per-partition count
+    offsets + partition-local row_number (zipWithIndex shape — no global
+    single-reducer window; reference reduce_dataset.py:55-56). The order
+    key is md5(doc_id), i.e. a genuine shuffle of the input order, so the
+    oracle certifies reordering, not an identity mapping. Equality with
+    the global-window variant across partition counts is pinned by
+    tests/test_ann_ngrams_sample.py::test_renumber_scalable_equals_global."""
+    from reviews_quality_check_spark.operators.sample import renumber_scalable
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__ord")
+    )
+    out = renumber_scalable(d, "__ord", num_partitions=16)
+    return out.select("doc_id", F.col("new_id")).orderBy("doc_id")

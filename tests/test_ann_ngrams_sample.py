@@ -117,6 +117,30 @@ def test_renumber_sequential(spark):
     assert out == {"a": 1, "b": 2, "c": 3, "d": 4}
 
 
+def test_renumber_scalable_equals_global(spark):
+    """The per-partition-offset renumber (W2 scale path) matches the
+    global-window variant on multi-partition data with a unique order
+    key, at several partition counts — ids are a pure function of the
+    order column, not the physical layout."""
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.sample import renumber_scalable
+
+    # shuffled unique keys across 8 input partitions (md5 hex: collision-
+    # free here; a modular hash would birthday-collide and violate the
+    # operator's unique-order-key contract)
+    df = spark.range(0, 5000, 1, 8).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    want = {r["k"]: r["new_id"] for r in renumber(df, "k").collect()}
+    for n in (3, 8, 17):
+        got = {
+            r["k"]: r["new_id"]
+            for r in renumber_scalable(df, "k", num_partitions=n).collect()
+        }
+        assert got == want, f"mismatch at num_partitions={n}"
+
+
 def test_multimodal_fake_extract(spark):
     rows = [
         (1, "image", b"\x89PNG fake bytes", "image/png", 10, 10, None),
