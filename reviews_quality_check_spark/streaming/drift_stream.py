@@ -105,6 +105,106 @@ def start_drift_monitor(
     )
 
 
+def incremental_drift_foreach_batch(
+    state_path: str,
+    metric: str = "kl",
+    eps: float = 1e-6,
+    state_windows: int = 4,
+    window_expr: str = "1 hour",
+):
+    """Incremental drift (SCALE.md 'next steps' item): per-batch work is
+    O(state + new windows), NOT O(full history).
+
+    State = the histograms of only the ``state_windows`` most recent
+    closed windows — bounded by state_windows × |categories| rows,
+    regardless of how long the stream has run. Each micro-batch:
+
+    1. union state with the newly closed windows (append-mode windows
+       carry FINAL counts exactly once, so a dropDuplicates on
+       (window_start, category) makes failure-replay a no-op);
+    2. compute drift only for the batch's windows (their predecessors
+       are either in the batch or in state);
+    3. write those drift rows to a per-batch subdirectory with overwrite
+       (idempotent under foreachBatch replay);
+    4. overwrite state with the most recent ``state_windows`` windows.
+
+    Returns (callback, drift_path); read drift with
+    ``spark.read.parquet(drift_path)`` (partition discovery unions the
+    per-batch dirs).
+    """
+    drift_path = state_path.rstrip("/") + "_drift"
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(state_path).select(
+                "window_start", "category", "cnt"
+            )
+        except Exception:
+            state = None
+        batch = batch_df.select("window_start", "category", "cnt")
+        uni = (
+            state.unionByName(batch) if state is not None else batch
+        ).dropDuplicates(["window_start", "category"]).localCheckpoint()
+
+        from reviews_quality_check_spark.operators.drift import (
+            categorical_window_drift,
+        )
+
+        new_windows = [r["window_start"] for r in batch.select("window_start").distinct().collect()]
+        drift = categorical_window_drift(
+            uni.select(
+                F.col("window_start").cast("timestamp").alias("ts"),
+                "category",
+                "cnt",
+            ),
+            "ts", "category", window_expr, metric=metric, eps=eps, count_col="cnt",
+        ).filter(F.col("window_start").isin(new_windows))
+        drift.write.mode("overwrite").parquet(f"{drift_path}/batch={batch_id}")
+
+        keep = [
+            r["window_start"]
+            for r in uni.select("window_start")
+            .distinct()
+            .orderBy(F.desc("window_start"))
+            .limit(state_windows)
+            .collect()
+        ]
+        uni.filter(F.col("window_start").isin(keep)).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    return callback, drift_path
+
+
+def start_incremental_drift_monitor(
+    stream: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    checkpoint_dir: str,
+    state_path: str,
+    window_expr: str = "1 hour",
+    watermark: str = "1 hour",
+    metric: str = "kl",
+    state_windows: int = 4,
+):
+    """Streaming drift with bounded incremental state (the scale path of
+    start_drift_monitor); returns the StreamingQuery."""
+    hist_stream = windowed_histogram_stream(stream, ts_col, cat_col, window_expr, watermark)
+    callback, _ = incremental_drift_foreach_batch(
+        state_path, metric=metric, state_windows=state_windows,
+        window_expr=window_expr,
+    )
+    return (
+        hist_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(callback)
+        .start()
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     ts_col: str = "warc_ts",

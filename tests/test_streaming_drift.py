@@ -54,6 +54,64 @@ def test_streaming_drift_end_to_end(spark, tmp_path):
     assert drift["2024-01-01 02:00:00"] == pytest.approx(want, rel=1e-6)
 
 
+def test_incremental_drift_bounded_state(spark, tmp_path):
+    """Incremental monitor: same drift values as the full-history
+    recompute, but per-batch state is capped at state_windows x
+    |categories| rows — the SCALE.md 'stateful incremental variant'."""
+    from reviews_quality_check_spark.streaming.drift_stream import (
+        start_incremental_drift_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    rows = []
+    # 5 hourly windows: steady, steady, flip, steady, half-half
+    dists = [(90, 10), (90, 10), (10, 90), (10, 90), (50, 50)]
+    for h, (na, nb) in enumerate(dists):
+        ts = f"2024-01-01 0{h}:30:00"
+        rows += [(ts, "a")] * na + [(ts, "b")] * nb
+    df = spark.createDataFrame(rows, "ts string, cat string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # two source files -> at least two micro-batches exercise the
+    # state handoff (predecessor from state, not from the same batch)
+    df.filter(F.hour("ts") < 2).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("cat", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_incremental_drift_monitor(
+        stream, "ts", "cat", ckpt, state, "1 hour", "1 hour", state_windows=2
+    )
+    try:
+        q.processAllAvailable()
+        df.filter(F.hour("ts") >= 2).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        late = spark.createDataFrame(
+            [("2024-01-01 09:00:00", "a")], "ts string, cat string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        late.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    drift = {
+        str(r["window_start"]): r["drift"]
+        for r in spark.read.parquet(state + "_drift").collect()
+    }
+    flip = O.kl_divergence({"a": 0.1, "b": 0.9}, {"a": 0.9, "b": 0.1})
+    half = O.kl_divergence({"a": 0.5, "b": 0.5}, {"a": 0.1, "b": 0.9})
+    assert drift["2024-01-01 01:00:00"] == pytest.approx(0.0, abs=1e-9)
+    assert drift["2024-01-01 02:00:00"] == pytest.approx(flip, rel=1e-6)
+    assert drift["2024-01-01 03:00:00"] == pytest.approx(0.0, abs=1e-9)
+    assert drift["2024-01-01 04:00:00"] == pytest.approx(half, rel=1e-6)
+    # bounded state: at most state_windows x |categories| rows survive
+    assert spark.read.parquet(state).count() <= 2 * 2
+
+
 def test_streaming_dedup_drops_repeats_within_watermark(spark, tmp_path):
     """First arrival of each url survives; repeats within the watermark
     horizon are dropped; output preserved across micro-batches."""
