@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     "vocabulary_scores",
     "sentence_length_variety",
     "duplicate_metrics_reviews",
+    "combined_similar_pairs",
+    "ann_ivf_topk",
+    "nchars_digest",
+    "renumber_docs",
+    "near_dup_clusters",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

@@ -339,3 +339,76 @@ def simhash_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             "bucket", F.shiftrightunsigned(F.col("simhash"), SIMHASH_BITS - prefix_bits)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over a near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into duplicate CLUSTERS — the form a
+    dedup pipeline actually consumes (keep one canonical doc per
+    cluster; the reference likewise removes whole duplicate groups,
+    analyzers/similarity.py:161 + review_analysis.py:320-330).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels; converges
+    in O(component diameter) rounds (near-dup clusters are shallow —
+    star-ish around a template — so a handful of rounds in practice;
+    ``max_iter`` is a documented safety bound, and convergence is an
+    exact count-of-changes == 0 test, not a guess).
+
+    Scale shape per round: one equi-join edges×labels + one groupBy min —
+    both shuffle on the node id, AQE-splittable, no driver data beyond
+    the change COUNT. Labels are localCheckpoint'd each round to truncate
+    the iterative lineage (the standard Spark iterative-algorithm
+    pattern). Deterministic: min() over ids.
+
+    Output: (node, cluster_id, cluster_size) — cluster_id = min member id.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        "node", F.col("lbl").alias("cluster_id"), "cluster_size"
+    )

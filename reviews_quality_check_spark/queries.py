@@ -2905,10 +2905,11 @@ def scored_sentiments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "embedding_near_dups",
-    oracle=f"""
-    WITH planes AS (
+def _emb_near_dup_cte() -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, cos)`` — the DuckDB twin
+    of operators.ann.near_dup_pairs_lsh over embeddings ∪ planted rows.
+    Shared by embedding_near_dups and near_dup_clusters."""
+    return f"""planes AS (
       SELECT cast(i as int) AS pid,
              list_transform(range(0, {_EMB_DIM}),
                j -> ('0x' || substring(md5(i::varchar || ':' || j::varchar), 1, 8))::bigint
@@ -2944,7 +2945,13 @@ def scored_sentiments(spark: SparkSession, sf_dir: str) -> DataFrame:
                          i -> na.nv[i] * nb.nv[i]), (x, y) -> x + y) AS cos
       FROM cand c
       JOIN base na ON na.vec_id = c.id_a
-      JOIN base nb ON nb.vec_id = c.id_b)
+      JOIN base nb ON nb.vec_id = c.id_b)"""
+
+
+@_register(
+    "embedding_near_dups",
+    oracle=f"""
+    WITH {_emb_near_dup_cte()}
     SELECT id_a, id_b, round(cos, 4) AS cos_sim
     FROM pairs WHERE cos >= 0.9
     ORDER BY id_a, id_b
@@ -3109,3 +3116,48 @@ def renumber_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = renumber_scalable(d, "__ord", num_partitions=16)
     return out.select("doc_id", F.col("new_id")).orderBy("doc_id")
+
+
+@_register(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_emb_near_dup_cte()},
+    fpairs AS (SELECT id_a, id_b FROM pairs WHERE cos >= 0.9),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM fpairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM fpairs),
+    reach AS (
+      SELECT a AS node, b AS r FROM und
+      UNION
+      SELECT re.node, u.b AS r FROM reach re JOIN und u ON u.a = re.r),
+    lbl AS (
+      SELECT node, least(node, min(r)) AS cluster_id
+      FROM reach GROUP BY node),
+    sz AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+    SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
+    FROM lbl l JOIN sz s USING (cluster_id)
+    ORDER BY doc_id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the embedding near-dup pair graph:
+    min-label-propagation connected components (operators/dedup.py) over
+    near_dup_pairs_lsh edges — the consumable form of dedup at training-
+    data scale (keep min-id doc per cluster, drop the rest). Planted
+    near-identical vectors guarantee a non-trivial multi-node cluster at
+    every scale factor. Oracle: DuckDB recursive-CTE transitive closure
+    with min-label — exact, engine-portable."""
+    from reviews_quality_check_spark.operators.ann import near_dup_pairs_lsh
+    from reviews_quality_check_spark.operators.dedup import connected_components
+    from reviews_quality_check_spark.sources.planted import planted_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").unionByName(planted_embeddings(spark))
+    pairs = near_dup_pairs_lsh(
+        e, dim=_EMB_DIM, threshold=0.9, bands=_LSH_BANDS, rows_per_band=_LSH_R
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
+    ).orderBy("doc_id")

@@ -108,3 +108,28 @@ def test_simhash_similar_docs_close(df):
     # near-identical docs differ in few bits; unrelated docs in many
     assert hamming(rows[0], rows[2]) < hamming(rows[0], rows[6])
     assert rows[0] == rows[1] == rows[5]  # identical token streams
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 5-node path (needs multiple rounds), a
+    2-node island, and a triangle all resolve to min-id clusters with
+    exact sizes, regardless of edge direction."""
+    from reviews_quality_check_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # path 10-11-12-13-14 (labels must travel 4 hops), island (20,21),
+        # triangle (30,31,32) with redundant edges
+        [(11, 10), (11, 12), (13, 12), (13, 14),
+         (21, 20),
+         (30, 31), (31, 32), (32, 30)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(edges).collect()
+    }
+    assert {n: got[n] for n in (10, 11, 12, 13, 14)} == {
+        n: (10, 5) for n in (10, 11, 12, 13, 14)
+    }
+    assert got[20] == (20, 2) and got[21] == (20, 2)
+    assert {n: got[n] for n in (30, 31, 32)} == {n: (30, 3) for n in (30, 31, 32)}
