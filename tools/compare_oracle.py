@@ -57,8 +57,13 @@ def canon(rows, cols):
 
 
 def main() -> int:
+    import json
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    artifact_path = os.environ.get("COMPARE_ORACLE_JSON")  # optional artifact
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entry_mod
     from reviews_quality_check_spark.session import get_spark
@@ -86,9 +91,11 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "FAIL-spark", "err": str(e)[:200]}
             print(f"[FAIL-spark] {name}: {type(e).__name__}: {str(e)[:400]}")
             continue
         if name not in oracles:
+            results[name] = {"status": "rows-only", "spark_rows": len(srows)}
             print(f"[rows-only] {name}: {len(srows)} rows, {len(scols)} cols")
             continue
         try:
@@ -98,11 +105,13 @@ def main() -> int:
             orows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "FAIL-duckdb", "err": str(e)[:200]}
             print(f"[FAIL-duckdb] {name}: {type(e).__name__}: {str(e)[:400]}")
             continue
         st, ot = arrow_types(satbl, scols), arrow_types(oatbl, ocols)
         if sorted(scols) == sorted(ocols) and st != ot:
             failures.append(name)
+            results[name] = {"status": "FAIL-types"}
             diffs = [
                 (c, a, b)
                 for c, a, b in zip(sorted(scols), st, ot)
@@ -114,19 +123,30 @@ def main() -> int:
         oc, ocn = canon(orows, ocols)
         if scn != ocn:
             failures.append(name)
+            results[name] = {"status": "FAIL-schema"}
             print(f"[FAIL-schema] {name}: spark={scn} oracle={ocn}")
             continue
         if len(sc) != len(oc):
             failures.append(name)
+            results[name] = {"status": "FAIL-count"}
             print(f"[FAIL-count] {name}: spark={len(sc)} oracle={len(oc)}")
             continue
         if sc != oc:
             failures.append(name)
+            results[name] = {"status": "FAIL-values"}
             bad = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
             print(f"[FAIL-values] {name}: first diffs {bad}")
             continue
+        results[name] = {"status": "OK", "rows": len(sc)}
         print(f"[OK] {name}: {len(sc)} rows")
     spark.stop()
+    if artifact_path:
+        with open(artifact_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(results),
+                 "n_failures": len(failures), "results": results},
+                fh, indent=1, sort_keys=True,
+            )
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
 
