@@ -208,9 +208,12 @@ def combined_similar_pairs(
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     union = F.col("n_a") + F.col("n_b") - inter
     nsim = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
-    # NB: an unrolled 64-term element_at chain was tried here and MEASURED
-    # SLOWER than the zip_with fold (13.1s vs 9.9s at sf0.1; the giant
-    # expression tree defeats codegen) — keep the HOF dot.
+    # JVM HOF dot on purpose: this join scores EVERY in-block pair
+    # (n_blocks x B^2 — 1.5M pairs at sf0.1), so an Arrow UDF would ship
+    # ~2x64 doubles per pair to Python (~1.5 GB) — measured SLOWER than
+    # the interpreted fold. The vectorized dot_pandas_udf pays off only
+    # on small candidate sets (LSH rerank); an unrolled element_at chain
+    # is also slower (giant tree defeats codegen). Measured r3.
     esim = dot(F.col("nv_a"), F.col("nv_b"))
     # two-step projection: deriving comb from the ALIASED esim/nsim makes
     # the zip_with dot product evaluate once per pair. (Building esim and

@@ -250,3 +250,39 @@ def test_near_dup_lsh_finds_perturbed_copies(spark):
     # LSH pairs are a subset of brute-force with identical cosines
     for pair, sim in got.items():
         assert pair in brute and brute[pair] == sim
+
+
+def test_arrow_bucket_and_dot_bit_identical(spark):
+    """The Arrow-vectorized band-bucket and dot UDFs produce EXACTLY the
+    expression-path results (same left-fold order, same float64 ops) —
+    the guarantee that lets near_dup_pairs_lsh keep its bit-exact DuckDB
+    oracle while vectorizing the hot stages."""
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.ann import (
+        band_bucket_exprs,
+        band_buckets_pandas_udf,
+        dot,
+        dot_pandas_udf,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expr = e.select("vec_id", *band_bucket_exprs(F.col("embedding"), 64, 4, 8))
+    udf = e.select(
+        "vec_id", band_buckets_pandas_udf(64, 4, 8)(F.col("embedding")).alias("bb")
+    ).select(
+        "vec_id", *[F.element_at("bb", b + 1).alias(f"band{b}") for b in range(4)]
+    )
+    assert expr.exceptAll(udf).count() == 0 and udf.exceptAll(expr).count() == 0
+
+    pairs = (
+        e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        .join(
+            e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")),
+            F.col("ia") == F.col("ib") - 1,
+        )
+    )
+    diff = pairs.select(
+        (dot(F.col("va"), F.col("vb")) == dot_pandas_udf()(F.col("va"), F.col("vb"))).alias("eq")
+    ).filter(~F.col("eq"))
+    assert diff.count() == 0
