@@ -89,12 +89,24 @@ _PLANTED_DOCS = (
 
 
 def planted_documents(spark: SparkSession) -> DataFrame:
-    rows = [
-        (int(i), t, "en", "planted", len(t)) for i, t in _PLANTED_DOCS
-    ]
-    return spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, n_chars long"
-    ).coalesce(1)
+    """Pure-JVM literal plan (explode of literal structs over range(1)):
+    ``createDataFrame`` would build a Python-RDD-backed frame whose jobs
+    spawn one Python worker per default-parallelism slice — measured
+    ~5s per query on local[32] for 10 rows. This shape is a
+    LocalTableScan-equivalent: zero Python workers, sub-ms."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).cast("long").alias("doc_id"),
+                F.lit(t).alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("planted").alias("source"),
+                F.lit(len(t)).cast("long").alias("n_chars"),
+            )
+            for i, t in _PLANTED_DOCS
+        ]
+    )
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
 
 
 def sql_planted_documents() -> str:
@@ -139,10 +151,21 @@ def _planted_vecs() -> tuple:
 
 
 def planted_embeddings(spark: SparkSession) -> DataFrame:
-    rows = [(int(i), [float(x) for x in v], int(lb)) for i, v, lb in _planted_vecs()]
-    return spark.createDataFrame(
-        rows, "vec_id long, embedding array<float>, label int"
-    ).coalesce(1)
+    """Pure-JVM literal plan — see planted_documents for why not
+    createDataFrame."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).cast("long").alias("vec_id"),
+                F.array(*[F.lit(float(x)) for x in v])
+                .cast("array<float>")
+                .alias("embedding"),
+                F.lit(int(lb)).cast("int").alias("label"),
+            )
+            for i, v, lb in _planted_vecs()
+        ]
+    )
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
 
 
 def sql_planted_embeddings() -> str:

@@ -65,10 +65,16 @@ for _ in range(2):  # untimed warm-up: tiered JIT to steady state
     res = SuiteRunner(suite).run(pages, pe, resume=False)
     materialize(res.verdicts); materialize(res.violations)
 
-t0 = time.perf_counter()
-res = SuiteRunner(suite).run(pages, pe, resume=False)
-materialize(res.verdicts); materialize(res.violations)
-elapsed = time.perf_counter() - t0
+# best-of-2 timed passes (both recorded): the virtualized host shows
+# 20-40% run variance with occasional contention spikes; a single
+# unlucky pass at one level would fabricate a scaling-efficiency drop
+passes = []
+for _ in range(2):
+    t0 = time.perf_counter()
+    res = SuiteRunner(suite).run(pages, pe, resume=False)
+    materialize(res.verdicts); materialize(res.violations)
+    passes.append(round(time.perf_counter() - t0, 3))
+elapsed = min(passes)
 
 digest = sorted(
     (r["partition_id"], r["check_name"], r["passed"], r["violation_count"])
@@ -76,6 +82,7 @@ digest = sorted(
 )
 h = hashlib.md5(json.dumps(digest).encode()).hexdigest()
 print(json.dumps({"cores": cores, "seconds": round(elapsed, 3),
+                  "passes": passes,
                   "pages_per_sec": round(n_pages / elapsed, 1),
                   "verdict_digest": h}))
 spark.stop()
@@ -139,7 +146,7 @@ def main() -> None:
     }
 
     rows = "\n".join(
-        f"| local[{c}] | {results[c]['seconds']:.2f} | {results[c]['pages_per_sec']:,.0f} |"
+        f"| local[{c}] | {results[c]['seconds']:.2f} | {results[c]['pages_per_sec']:,.0f} | {results[c]['passes']} |"
         for c in LEVELS
     )
     md = f"""# BENCH — scaling evidence (N vs 4N cores)
@@ -154,10 +161,11 @@ Workload: the flagship pages constraint suite — not_blank(text) +
 in_set(lang) referential + Flesch floor (flat-regex, whole-stage
 codegen) + salted uniqueness(url) — over {n_pages:,} synthetic
 Common-Crawl-shaped pages, verdicts + violations fully materialized,
-two untimed warm-up passes (tiered JIT) before the timed pass.
+two untimed warm-up passes (tiered JIT), then best of two timed passes
+per level (all passes recorded — the host shows 20-40% run variance).
 
-| parallelism | wall seconds | pages/sec |
-|---|---|---|
+| parallelism | wall seconds | pages/sec | passes |
+|---|---|---|---|
 {rows}
 
 **Primary N->4N pair (local[2] -> local[8]): efficiency
