@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "nchars_digest",
     "renumber_docs",
     "near_dup_clusters",
+    "near_dup_retained_docs",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

@@ -3161,3 +3161,62 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
     ).orderBy("doc_id")
+
+
+@_register(
+    "near_dup_retained_docs",
+    oracle=f"""
+    WITH RECURSIVE {_emb_near_dup_cte()},
+    fpairs AS (SELECT id_a, id_b FROM pairs WHERE cos >= 0.9),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM fpairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM fpairs),
+    reach AS (
+      SELECT a AS node, b AS r FROM und
+      UNION
+      SELECT re.node, u.b AS r FROM reach re JOIN und u ON u.a = re.r),
+    lbl AS (
+      SELECT node, least(node, min(r)) AS cluster_id
+      FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM lbl WHERE node <> cluster_id),
+    docs AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id FROM {_SQL_PLANTED_DOCS()})
+    SELECT d.doc_id
+    FROM docs d LEFT JOIN dropped x ON x.node = d.doc_id
+    WHERE x.node IS NULL
+    ORDER BY d.doc_id
+    """,
+)
+def near_dup_retained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup dedup pipeline's RETAINED set: LSH pairs →
+    connected components → keep the min-id doc per cluster, drop the
+    rest (the reference likewise removes whole duplicate groups and
+    keeps one survivor, review_analysis.py:320-330) — composed as a
+    broadcast-able anti-join of the (tiny) dropped set against the doc
+    table. Planted rows guarantee real drops at every scale factor
+    (clusters {{-3,-2,-1}} and {{-5,-4}} keep -3 and -5)."""
+    from reviews_quality_check_spark.operators.ann import near_dup_pairs_lsh
+    from reviews_quality_check_spark.operators.dedup import connected_components
+    from reviews_quality_check_spark.sources.planted import (
+        planted_documents,
+        planted_embeddings,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").unionByName(planted_embeddings(spark))
+    pairs = near_dup_pairs_lsh(
+        e, dim=_EMB_DIM, threshold=0.9, bands=_LSH_BANDS, rows_per_band=_LSH_R
+    )
+    dropped = (
+        connected_components(pairs, "id_a", "id_b")
+        .filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .unionByName(planted_documents(spark))
+        .select("doc_id")
+    )
+    return d.join(F.broadcast(dropped), "doc_id", "left_anti").orderBy("doc_id")
