@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "renumber_docs",
     "near_dup_clusters",
     "near_dup_retained_docs",
+    "text_dedup_retained",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

@@ -3220,3 +3220,67 @@ def near_dup_retained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return d.join(F.broadcast(dropped), "doc_id", "left_anti").orderBy("doc_id")
+
+
+@_register(
+    "text_dedup_retained",
+    oracle=_MINHASH_CTE.replace("WITH tok AS", "WITH RECURSIVE tok AS", 1)
+    + f""",
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id),
+    docs AS (
+      SELECT doc_id, md5({sql_norm_text('text')}) AS fp,
+             {_sql_simset('text')} AS ngset
+      FROM documents),
+    spairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      JOIN docs da ON da.doc_id = c.id_a
+      JOIN docs db ON db.doc_id = c.id_b
+      WHERE da.fp <> db.fp
+        AND cast(len(list_filter(da.ngset, x -> list_contains(db.ngset, x))) as double)
+            / cast(len(list_distinct(list_concat(da.ngset, db.ngset))) as double) >= 0.7),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM spairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM spairs),
+    reach AS (
+      SELECT a AS node, b AS r FROM und
+      UNION
+      SELECT re.node, u.b AS r FROM reach re JOIN und u ON u.a = re.r),
+    lbl AS (
+      SELECT node, least(node, min(r)) AS cluster_id
+      FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM lbl WHERE node <> cluster_id)
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN dropped x ON x.node = d.doc_id
+    WHERE x.node IS NULL
+    ORDER BY d.doc_id
+    """,
+)
+def text_dedup_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-side end-to-end dedup (no embeddings): MinHash-LSH candidate
+    pairs verified by exact reference Jaccard (>= 0.7, exact-dup fp
+    pairs excluded) → connected components → keep the min-id doc per
+    similarity cluster — the full 'MinHash dedup a 10^12-doc crawl'
+    composition. Real (non-planted) positives: the synthetic corpus
+    yields 25 pairs at sf0.01 / 248 at sf0.1. Oracle: the relational
+    MinHash CTE + recursive-CTE closure + NULL anti-join."""
+    from reviews_quality_check_spark.operators.dedup import (
+        connected_components,
+        near_dup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(d, "text", "doc_id", threshold=0.7)
+    dropped = (
+        connected_components(pairs, "id_a", "id_b")
+        .filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        d.select("doc_id")
+        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
