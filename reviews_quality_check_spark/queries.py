@@ -2074,15 +2074,36 @@ def sentence_length_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("media_features")  # mapInPandas decode plumbing: rows-only
+@_register(
+    "media_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (['image', 'audio', 'video'])[cast(doc_id % 3 as int) + 1] AS kind,
+             md5(md5(doc_id::varchar) || md5(doc_id::varchar || ':p')) AS dg
+      FROM documents),
+    f AS (
+      SELECT media_id, kind, cast(i as int) AS feat_idx,
+             round(cast(cast(
+               ('0x' || substr(dg, cast(2 * i + 1 as int), 2))::int / 255.0 * 2.0 - 1.0
+             as FLOAT) as double), 4) AS feature
+      FROM m CROSS JOIN range(0, 8) t(i))
+    SELECT media_id, kind, feat_idx, feature, true AS decode_ok
+    FROM f ORDER BY media_id, feat_idx
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal column plumbing with driver visibility: binary media
-    payloads synthesized deterministically from doc_id (md5-derived
-    bytes, 3 kinds), pushed through the Arrow-batched mapInPandas
-    feature extractor (deterministic fake decoder — Pillow/ffmpeg absent
-    here; the real-codec path is the same plan). Rows-only: the feature
-    math lives in the Python decoder by design (that IS the operator);
-    value determinism is pinned by tests/test_ann_ngrams_sample.py."""
+    """Multimodal column plumbing, now FULLY oracle-gated: binary media
+    payloads synthesized deterministically from doc_id (the UTF-8 bytes
+    of a 64-hex-char string, so DuckDB's VARCHAR md5 computes the same
+    digest the Python decoder computes over the payload bytes), pushed
+    through the Arrow-batched mapInPandas feature extractor
+    (deterministic fake decoder — Pillow/ffmpeg absent here; the
+    real-codec path is the same plan). Features explode to scalar rows
+    (media_id, feat_idx, feature): canonicalizer-safe and value-exact —
+    the md5-byte arithmetic is mirrored closed-form in SQL. The stub
+    boundary (NotImplementedError without fake=True) stays pinned by
+    tests/test_ann_ngrams_sample.py."""
     from reviews_quality_check_spark.operators.multimodal import extract_media_features
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -2092,24 +2113,29 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
-        F.to_binary(
-            F.concat(F.md5(F.col("doc_id").cast("string")), F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":p")))),
-            F.lit("hex"),
+        F.encode(
+            F.concat(
+                F.md5(F.col("doc_id").cast("string")),
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":p"))),
+            ),
+            "utf-8",
         ).alias("payload"),
     )
     out = extract_media_features(media, dim=8, fake=True)
-    # array<float> serialized to a scalar string: the driver's pandas
-    # canonicalizer cannot sort/hash list cells (CORRECTNESS_r02 err rows)
-    return out.select(
-        "media_id", "kind", "feat_dim",
-        F.concat_ws(
-            ",",
-            F.transform(
-                "features", lambda x: F.format_string("%.4f", x.cast("double"))
-            ),
-        ).alias("features_csv"),
-        "decode_ok",
-    ).orderBy("media_id")
+    return (
+        out.select(
+            "media_id", "kind",
+            F.posexplode("features").alias("feat_idx", "__f"),
+            "decode_ok",
+        )
+        .select(
+            "media_id", "kind",
+            F.col("feat_idx").cast("int").alias("feat_idx"),
+            F.round(F.col("__f").cast("double"), 4).alias("feature"),
+            "decode_ok",
+        )
+        .orderBy("media_id", "feat_idx")
+    )
 
 
 @_register("nchars_digest")  # approx sketch: rows-only (bounded-error pytest)
