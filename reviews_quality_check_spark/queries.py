@@ -2138,29 +2138,82 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("nchars_digest")  # approx sketch: rows-only (bounded-error pytest)
+@_register(
+    "nchars_digest",
+    oracle="""
+    WITH vals AS (
+      SELECT lang AS group_key, cast(n_chars as double) AS v,
+             cast(count(*) as double) AS w
+      FROM documents GROUP BY 1, 2),
+    ord AS (
+      SELECT group_key, v, w,
+             sum(w) OVER (PARTITION BY group_key ORDER BY v) - w / 2.0 AS cum,
+             sum(w) OVER (PARTITION BY group_key) AS total
+      FROM vals),
+    qs AS (SELECT cast(unnest([0.25, 0.5, 0.75, 0.95]) as double) AS q),
+    tg AS (
+      SELECT g.group_key, g.total, qs.q, qs.q * g.total AS tgt
+      FROM (SELECT DISTINCT group_key, total FROM ord) g CROSS JOIN qs),
+    lo AS (
+      SELECT t.group_key, t.q, max(o.cum) AS cl
+      FROM tg t JOIN ord o ON o.group_key = t.group_key AND o.cum <= t.tgt
+      GROUP BY 1, 2),
+    hi AS (
+      SELECT t.group_key, t.q, min(o.cum) AS ch
+      FROM tg t JOIN ord o ON o.group_key = t.group_key AND o.cum >= t.tgt
+      GROUP BY 1, 2),
+    j AS (
+      SELECT t.group_key, t.q, t.tgt, t.total, lo.cl, hi.ch
+      FROM tg t
+      LEFT JOIN lo ON lo.group_key = t.group_key AND lo.q = t.q
+      LEFT JOIN hi ON hi.group_key = t.group_key AND hi.q = t.q),
+    res AS (
+      SELECT j.group_key, j.q, j.total,
+             CASE
+               WHEN j.cl IS NULL THEN oh.v
+               WHEN j.ch IS NULL THEN ol.v
+               WHEN j.cl = j.ch THEN ol.v
+               ELSE (oh.v - ol.v) / (j.ch - j.cl) * (j.tgt - j.cl) + ol.v
+             END AS quantile
+      FROM j
+      LEFT JOIN ord ol ON ol.group_key = j.group_key AND ol.cum = j.cl
+      LEFT JOIN ord oh ON oh.group_key = j.group_key AND oh.cum = j.ch)
+    SELECT group_key, cast(total as bigint) AS n, q,
+           round(quantile, 4) AS quantile
+    FROM res ORDER BY group_key, q
+    """,
+)
 def nchars_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom mergeable quantile sketch (SURVEY §7.3 t-digest partial/
     merge as a two-stage applyInPandas aggregate) over n_chars per lang.
-    Approximate by design — no SQL oracle can bit-match it; correctness
-    is the bounded-error + partition-determinism pytest
-    (tests/test_drift_stats.py::test_quantile_digest_bounded_error)."""
+
+    VALUE-oracled: with k=4096 >= distinct values per group, the rank
+    compression is exactly the identity at every test scale, so the
+    two-stage Arrow plumbing (duplicate-collapse pre-aggregate → salted
+    partials → merge) plus the np.interp mid-rank read-off is mirrored
+    closed-form in SQL (cumulative weights + linear interpolation in
+    np.interp's own operation order). The lossy-compression regime
+    (distinct > k) is approximate by design and stays pytest-gated
+    (tests/test_drift_stats.py::test_quantile_digest_bounded_error,
+    bounded error + determinism across partitionings at k=128)."""
     from reviews_quality_check_spark.operators.column_stats import quantile_digest
 
     d = _t(spark, sf_dir, "documents")
-    out = quantile_digest(d, "n_chars", group_by="lang", k=128)
-    # array<double> serialized to a scalar string: the driver's pandas
-    # canonicalizer cannot sort/hash list cells (CORRECTNESS_r02 err rows)
-    return out.select(
-        "group_key",
-        F.col("n").cast("long").alias("n"),
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.col("quantiles"), lambda x: F.format_string("%.4f", x)
-            ),
-        ).alias("quantiles_csv"),
-    ).orderBy("group_key")
+    out = quantile_digest(d, "n_chars", group_by="lang", k=4096)
+    qarr = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+    return (
+        out.select(
+            "group_key",
+            F.col("n").cast("long").alias("n"),
+            F.posexplode("quantiles").alias("__i", "__qv"),
+        )
+        .select(
+            "group_key", "n",
+            F.element_at(qarr, F.col("__i") + 1).alias("q"),
+            F.round(F.col("__qv"), 4).alias("quantile"),
+        )
+        .orderBy("group_key", "q")
+    )
 
 
 @_register(
