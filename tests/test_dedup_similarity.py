@@ -133,3 +133,12 @@ def test_connected_components_chain_and_islands(spark):
     }
     assert got[20] == (20, 2) and got[21] == (20, 2)
     assert {n: got[n] for n in (30, 31, 32)} == {n: (30, 3) for n in (30, 31, 32)}
+
+
+def test_connected_components_empty_edges(spark):
+    """Zero edges -> zero rows, no crash (the retained-set queries hit
+    this at scales where no pairs clear the threshold)."""
+    from reviews_quality_check_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
