@@ -80,22 +80,26 @@ def brute_force_topk(
     )
 
 
+def md5_unit(salt: str) -> float:
+    """THE engine-portable pseudo-random double in [-1, 1):
+    ``('0x' || substring(md5(salt), 1, 8))::bigint / 4294967295.0 * 2.0
+    - 1.0`` — exactly reproducible in DuckDB SQL. Single definition on
+    purpose: hyperplanes, fixed IVF centroids, and planted fixture
+    vectors (sources/planted.py) all derive from this one formula, so a
+    tweak cannot silently break cross-engine bit-identity for a subset
+    of them."""
+    import hashlib
+
+    return int(hashlib.md5(salt.encode()).hexdigest()[:8], 16) / 4294967295.0 * 2.0 - 1.0
+
+
 def _hyperplane_raw(dim: int, plane_idx: int) -> list[float]:
     """Unnormalized md5-derived hyperplane. Sign of dot(v, p) is invariant
     to positive scaling of p, so skipping the L2 normalization keeps the
     bucket assignment identical while making every component an exact
-    closed-form double — `('0x' || substring(md5(i || ':' || j), 1, 8))
-    ::bigint / 4294967295.0 * 2.0 - 1.0` — that a SQL oracle (DuckDB)
-    reproduces bit-for-bit."""
-    import hashlib
-
-    return [
-        int(hashlib.md5(f"{plane_idx}:{j}".encode()).hexdigest()[:8], 16)
-        / 4294967295.0
-        * 2.0
-        - 1.0
-        for j in range(dim)
-    ]
+    closed-form double that a SQL oracle (DuckDB) reproduces
+    bit-for-bit (see md5_unit)."""
+    return [md5_unit(f"{plane_idx}:{j}") for j in range(dim)]
 
 
 def band_bucket_exprs(
@@ -143,17 +147,29 @@ def band_buckets_pandas_udf(dim: int, bands: int, rows_per_band: int):
     def _buckets(v):
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        x = np.vstack(v.to_numpy()).astype(np.float64)  # float32 -> exact
-        n = x.shape[0]
-        out = np.zeros((n, bands), dtype=np.int64)
-        for b in range(bands):
-            for i in range(rows_per_band):
-                p = planes[b * rows_per_band + i]
-                acc = np.zeros(n, dtype=np.float64)
-                for j in range(dim):  # same fold order as dot()
-                    acc = acc + x[:, j] * p[j]
-                out[:, b] |= (acc >= 0).astype(np.int64) << i
-        return pd.Series(list(out))
+        arrs = v.to_numpy()
+        # ragged/null guard: a single malformed row must not kill the
+        # batch (np.vstack raises on mismatched lengths); such rows get
+        # null buckets — the graceful degradation the expression path had
+        good = np.array(
+            [a is not None and len(a) == dim for a in arrs], dtype=bool
+        )
+        res = [None] * len(arrs)
+        if good.any():
+            x = np.vstack(arrs[good]).astype(np.float64)  # float32 -> exact
+            n = x.shape[0]
+            out = np.zeros((n, bands), dtype=np.int64)
+            for b in range(bands):
+                for i in range(rows_per_band):
+                    p = planes[b * rows_per_band + i]
+                    acc = np.zeros(n, dtype=np.float64)
+                    for j in range(dim):  # same fold order as dot()
+                        acc = acc + x[:, j] * p[j]
+                    out[:, b] |= (acc >= 0).astype(np.int64) << i
+            gi = np.flatnonzero(good)
+            for k, row in zip(gi, out):
+                res[k] = row
+        return pd.Series(res)
 
     # real class annotations (the module-level `from __future__ import
     # annotations` would stringify inline hints and break inference)
@@ -173,12 +189,37 @@ def dot_pandas_udf():
     def _dot(a, b):
         if len(a) == 0:
             return pd.Series([], dtype=float)
-        xa = np.vstack(a.to_numpy()).astype(np.float64)
-        xb = np.vstack(b.to_numpy()).astype(np.float64)
+        aa, bb = a.to_numpy(), b.to_numpy()
+        # ragged/null guard (see band_buckets_pandas_udf): malformed rows
+        # yield null instead of killing the batch
+        lens = [
+            len(x) if (x is not None and y is not None and len(x) == len(y)) else -1
+            for x, y in zip(aa, bb)
+        ]
+        counts: dict = {}
+        for ln in lens:
+            if ln >= 0:
+                counts[ln] = counts.get(ln, 0) + 1
+        if not counts:
+            return pd.Series([None] * len(aa), dtype=object)
+        modal = max(counts, key=lambda k: counts[k])
+        res: list = [None] * len(aa)
+        main = np.array([ln == modal for ln in lens], dtype=bool)
+        xa = np.vstack(aa[main]).astype(np.float64)
+        xb = np.vstack(bb[main]).astype(np.float64)
         acc = np.zeros(xa.shape[0], dtype=np.float64)
         for j in range(xa.shape[1]):  # same fold order as dot()
             acc = acc + xa[:, j] * xb[:, j]
-        return pd.Series(acc)
+        for k, val in zip(np.flatnonzero(main), acc):
+            res[k] = float(val)
+        # rare off-length (but well-formed) rows: scalar fold, same order
+        for k, ln in enumerate(lens):
+            if ln >= 0 and ln != modal:
+                s = 0.0
+                for x, y in zip(aa[k], bb[k]):
+                    s = s + float(x) * float(y)
+                res[k] = s
+        return pd.Series(res, dtype=object)
 
     _dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
     return pandas_udf("double")(_dot)
@@ -288,17 +329,8 @@ def fixed_centroids(dim: int, n_cells: int) -> list[list[float]]:
     a legitimate IVF variant (cells need only partition the space;
     KMeans merely balances occupancy) — it trades balanced cells for a
     model-free, certifiable assignment stage."""
-    import hashlib
-
     return [
-        [
-            int(hashlib.md5(f"c{i}:{j}".encode()).hexdigest()[:8], 16)
-            / 4294967295.0
-            * 2.0
-            - 1.0
-            for j in range(dim)
-        ]
-        for i in range(n_cells)
+        [md5_unit(f"c{i}:{j}") for j in range(dim)] for i in range(n_cells)
     ]
 
 

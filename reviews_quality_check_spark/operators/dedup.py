@@ -383,6 +383,7 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             und.join(labels.withColumnRenamed("node", "b"), "b")
@@ -405,9 +406,19 @@ def connected_components(
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        # drop the previous round's checkpointed blocks — without this,
+        # executor storage accumulates O(rounds x |nodes|) snapshots
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — a silent partial "
+            "result would split real components; raise max_iter (rounds "
+            "needed ~ component diameter)"
+        )
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         "node", F.col("lbl").alias("cluster_id"), "cluster_size"

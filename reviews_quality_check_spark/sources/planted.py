@@ -29,7 +29,6 @@ analyzers/similarity.py:264-269 (block pairing), configs/config.py:11-23
 
 from __future__ import annotations
 
-import hashlib
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -127,9 +126,11 @@ def sql_planted_documents() -> str:
 
 
 def _md5_unit(salt: str, j: int) -> float:
-    """Deterministic pseudo-random in [-1, 1), 6dp (exact in float32)."""
-    h = hashlib.md5(f"{salt}:{j}".encode()).hexdigest()
-    return round(int(h[:8], 16) / 4294967295.0 * 2.0 - 1.0, 6)
+    """Deterministic pseudo-random in [-1, 1), 6dp (exact in float32).
+    Delegates to the single canonical construction (ann.md5_unit)."""
+    from reviews_quality_check_spark.operators.ann import md5_unit
+
+    return round(md5_unit(f"{salt}:{j}"), 6)
 
 
 @lru_cache(maxsize=None)

@@ -126,7 +126,17 @@ def incremental_drift_foreach_batch(
        are either in the batch or in state);
     3. write those drift rows to a per-batch subdirectory with overwrite
        (idempotent under foreachBatch replay);
-    4. overwrite state with the most recent ``state_windows`` windows.
+    4. write the most recent ``state_windows`` windows to a VERSIONED
+       state dir ``{state}/v=<batch_id>``.
+
+    State versioning is what makes failure-replay exact: a replayed
+    batch re-reads the previous batch's state version (untouched by the
+    crashed attempt), so even a batch that closed more than
+    state_windows windows re-derives identical drift rows; and a crash
+    mid state-write corrupts only the version the replay is about to
+    rewrite. A missing state dir is only treated as "first batch" when
+    the directory genuinely has no committed versions — any other read
+    failure RAISES instead of silently restarting drift history.
 
     Returns (callback, drift_path); read drift with
     ``spark.read.parquet(drift_path)`` (partition discovery unions the
@@ -134,16 +144,42 @@ def incremental_drift_foreach_batch(
     """
     drift_path = state_path.rstrip("/") + "_drift"
 
+    def _state_versions(spark, dir_path):
+        """Committed v=<n> subdir numbers (possibly empty list)."""
+        sc = spark.sparkContext
+        hadoop_conf = sc._jsc.hadoopConfiguration()
+        p = sc._jvm.org.apache.hadoop.fs.Path(dir_path)
+        fs = p.getFileSystem(hadoop_conf)
+        if not fs.exists(p):
+            return []
+        versions = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("v="):
+                try:
+                    versions.append(int(name[2:]))
+                except ValueError:
+                    continue
+        return sorted(versions)
+
     def callback(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            state = spark.read.parquet(state_path).select(
+        # replay reads the PREVIOUS batch's version — the crashed
+        # attempt may have written (even corrupted) v=<batch_id> itself
+        versions = _state_versions(spark, state_path)
+        prior = [v for v in versions if v < batch_id]
+        prev = max(prior) if prior else None
+        if prev is None:
+            state = None
+        else:
+            # no try/except: an unreadable committed version is a real
+            # error — silently restarting drift history would corrupt
+            # every subsequent drift row
+            state = spark.read.parquet(f"{state_path}/v={prev}").select(
                 "window_start", "category", "cnt"
             )
-        except Exception:
-            state = None
         batch = batch_df.select("window_start", "category", "cnt")
         uni = (
             state.unionByName(batch) if state is not None else batch
@@ -172,9 +208,18 @@ def incremental_drift_foreach_batch(
             .limit(state_windows)
             .collect()
         ]
+        # versioned state commit: replay rewrites v=<batch_id> only; the
+        # previous version survives for the replay's own read
         uni.filter(F.col("window_start").isin(keep)).write.mode(
             "overwrite"
-        ).parquet(state_path)
+        ).parquet(f"{state_path}/v={batch_id}")
+        # prune versions older than the previous one (only the latest
+        # uncommitted batch can ever be replayed)
+        sc = spark.sparkContext
+        hadoop_conf = sc._jsc.hadoopConfiguration()
+        for v in [x for x in _state_versions(spark, state_path) if x < batch_id][:-1]:
+            p = sc._jvm.org.apache.hadoop.fs.Path(f"{state_path}/v={v}")
+            p.getFileSystem(hadoop_conf).delete(p, True)
 
     return callback, drift_path
 

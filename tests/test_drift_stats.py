@@ -154,3 +154,32 @@ def test_quantile_digest_bounded_error(spark):
             quantile_digest(df.repartition(13), "v", group_by="g", k=128).collect()}
     for g in out:
         assert out[g]["quantiles"] == out2[g]["quantiles"]
+
+
+def test_nchars_digest_identity_regime_headroom(spark):
+    """The nchars_digest value oracle is exact only while distinct
+    values per group <= k=4096 (identity-compression regime, see the
+    query docstring). Guard the cliff with 4x headroom at the largest
+    local scale so growth toward it is caught here, not as an opaque
+    driver FAIL-values at an untested scale."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("sf0.1 testdata missing")
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    worst = (
+        d.groupBy("lang")
+        .agg(F.countDistinct("n_chars").alias("nd"))
+        .agg(F.max("nd").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert worst <= 4096 // 4, (
+        f"distinct n_chars per lang = {worst} is approaching k=4096; "
+        "raise k in the nchars_digest query or drop its value oracle "
+        "to the bounded-error pytest"
+    )

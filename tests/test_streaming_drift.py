@@ -108,8 +108,16 @@ def test_incremental_drift_bounded_state(spark, tmp_path):
     assert drift["2024-01-01 02:00:00"] == pytest.approx(flip, rel=1e-6)
     assert drift["2024-01-01 03:00:00"] == pytest.approx(0.0, abs=1e-9)
     assert drift["2024-01-01 04:00:00"] == pytest.approx(half, rel=1e-6)
-    # bounded state: at most state_windows x |categories| rows survive
-    assert spark.read.parquet(state).count() <= 2 * 2
+    # bounded state: at most state_windows x |categories| rows in the
+    # latest committed version (state is versioned per batch for exact
+    # failure-replay; at most the two newest versions are retained)
+    import os
+
+    versions = sorted(
+        int(d[2:]) for d in os.listdir(state) if d.startswith("v=")
+    )
+    assert len(versions) <= 2
+    assert spark.read.parquet(f"{state}/v={versions[-1]}").count() <= 2 * 2
 
 
 def test_streaming_dedup_drops_repeats_within_watermark(spark, tmp_path):
