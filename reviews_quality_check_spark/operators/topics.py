@@ -127,6 +127,96 @@ def topics_summary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 # ---------------------------------------------------------------------------
+# P6/B4 deterministic halves: gensim Dictionary.filter_extremes + doc2bow
+# (reference topic.py:186-200) — the parts of the LDA pipeline that are
+# closed-form and therefore cross-engine oracle-able. The model fit itself
+# (fit_lda above) stays a seeded rows-only / pytest check.
+# ---------------------------------------------------------------------------
+
+
+def dictionary_extremes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The reference's adaptive dictionary pruning (topic.py:186-199):
+
+      corpus_size = total docs (BEFORE the >=3-token gate);
+      n_docs      = docs surviving the gate (gensim Dictionary.num_docs);
+      (no_below, no_above) = (2, 0.8) if corpus_size < 5000 else (3, 0.7);
+      keep words with  no_below <= docfreq <= int(no_above * n_docs);
+      if fewer than 50 words survive, refilter with (2, 0.95).
+
+    gensim's keep_n default (100000) is a no-op at every vocabulary size
+    this corpus can produce and is documented rather than modeled.
+    Both the adaptive branch and the <50 fallback are evaluated inside
+    the plan (scalar broadcast joins), so the same query is correct at
+    every scale factor — including sf0.1 where corpus_size == 5000 flips
+    the branch to (3, 0.7).
+
+    Output: (word, doc_freq) for the kept vocabulary.
+    """
+    toks = _token_df(df, text_col, id_col)
+    corpus_size = df.select(F.count(F.lit(1)).alias("n_total"))
+    n_docs = toks.select(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        toks.select(F.explode(F.array_distinct("tokens")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    scalars = corpus_size.crossJoin(n_docs)
+    nb1 = F.when(F.col("n_total") < 5000, F.lit(2)).otherwise(F.lit(3))
+    na1 = F.when(F.col("n_total") < 5000, F.lit(0.8)).otherwise(F.lit(0.7))
+    scalars = scalars.select(
+        "n_total",
+        "n_docs",
+        nb1.alias("nb1"),
+        F.floor(na1 * F.col("n_docs")).cast("long").alias("cap1"),
+        F.floor(F.lit(0.95) * F.col("n_docs")).cast("long").alias("cap2"),
+    )
+    annotated = dfreq.crossJoin(F.broadcast(scalars))
+    primary_kept = annotated.filter(
+        (F.col("doc_freq") >= F.col("nb1")) & (F.col("doc_freq") <= F.col("cap1"))
+    )
+    n_primary = primary_kept.select(F.count(F.lit(1)).alias("n_primary"))
+    use_fallback = F.col("n_primary") < 50
+    return (
+        annotated.crossJoin(F.broadcast(n_primary))
+        .filter(
+            F.when(
+                use_fallback,
+                (F.col("doc_freq") >= 2) & (F.col("doc_freq") <= F.col("cap2")),
+            ).otherwise(
+                (F.col("doc_freq") >= F.col("nb1"))
+                & (F.col("doc_freq") <= F.col("cap1"))
+            )
+        )
+        .select("word", "doc_freq")
+    )
+
+
+def doc_term_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """gensim doc2bow over the pruned vocabulary (topic.py:200): one row
+    per (doc_id, word) with the in-doc term count, restricted to words
+    kept by :func:`dictionary_extremes`. This IS the LDA input corpus —
+    certifying it certifies everything deterministic upstream of the
+    sampler. Scale shape: explode -> count -> broadcast semi-join on the
+    (tiny) kept vocabulary."""
+    toks = _token_df(df, text_col, id_col)
+    counts = (
+        toks.select("doc_id", F.explode("tokens").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    kept = dictionary_extremes(df, text_col, id_col).select("word")
+    return counts.join(F.broadcast(kept), "word").select("doc_id", "word", "n")
+
+
+# ---------------------------------------------------------------------------
 # B6: gensim-Phrases bigram scoring + greedy merge (topic.py:134-143)
 # ---------------------------------------------------------------------------
 

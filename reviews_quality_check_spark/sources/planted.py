@@ -121,6 +121,63 @@ def sql_planted_documents() -> str:
 
 
 # ---------------------------------------------------------------------------
+# sanitize-stress rows: the corpus text is pure printable ASCII (verified
+# across sf0.001/0.01/0.1), so the NFKD + ascii-ignore + char-map stages
+# of the sanitize chain (reference utils/text_processing.py:7-55) were
+# exercised only by pytest. These rows plant every interesting branch:
+# the full _CHAR_MAP inventory, combining accents (NFKD strips to base),
+# ligatures/superscripts (NFKD compatibility-decomposes), CJK + emoji
+# (ascii-ignore drops), control chars + exotic whitespace (collapse).
+# The DuckDB oracle carries the EXPECTED outputs as literals, computed at
+# SQL-build time by the clean-room ported chain (oracle.reference
+# .sanitize_text) — which pytest pins byte-identical to the Arrow UDF.
+# ids -21..-28: disjoint from real ids (>= 0) and dup/similarity ids
+# (-1..-10); these rows are unioned ONLY into sanitized_preview.
+# ---------------------------------------------------------------------------
+
+_PLANTED_SANITIZE = (
+    (-21, "\u201ccurly\u201d \u2018quotes\u2019 \u2013 dashes \u2014 and\u2026 bullets \u2022 here"),
+    # accents strip to base; \xdf has no NFKD decomposition -> dropped ("strae")
+    (-22, "caf\xe9 na\xefve r\xe9sum\xe9 \xfcber stra\xdfe"),
+    # ligatures fi/fl, vulgar fraction 1/2, superscript 2 (NFKD compat)
+    (-23, "\ufb01ne \ufb02ight \xbd dose \xb2 power"),
+    (-24, "non\xa0breaking\xa0space soft\xadhyphen zero\u200bwidth\ufeffmarks"),
+    (-25, "tabs\tand\nnewlines\r\nand  runs   of spaces"),
+    (-26, "\u65e5\u672c\u8a9e text \U0001f600 with emoji \u2212 minus"),
+    (-27, "   leading and trailing   "),
+    (-28, "plain ascii survives unchanged"),
+)
+
+
+def planted_sanitize_docs(spark: SparkSession) -> DataFrame:
+    """(doc_id, text) unicode stress rows as a pure-JVM literal plan."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).cast("long").alias("doc_id"),
+                F.lit(t).alias("text"),
+            )
+            for i, t in _PLANTED_SANITIZE
+        ]
+    )
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
+
+
+def sql_planted_sanitized() -> str:
+    """DuckDB VALUES of (doc_id, sanitized) EXPECTED outputs for the
+    stress rows, precomputed via the ported reference chain."""
+    from reviews_quality_check_spark.oracle.reference import sanitize_text
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"({i}, '{esc(sanitize_text(t))}')" for i, t in _PLANTED_SANITIZE
+    )
+    return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, sanitized))"
+
+
+# ---------------------------------------------------------------------------
 # embeddings: (vec_id BIGINT, embedding FLOAT[], label INTEGER)
 # ---------------------------------------------------------------------------
 

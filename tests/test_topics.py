@@ -127,3 +127,86 @@ def test_cv_coherence_properties(spark):
            cv_coherence(tok, perfect.unionAll(mixed)).collect()}
     assert got[0] == pytest.approx(1.0, abs=1e-6)
     assert got[1] < got[0]
+
+
+def test_dictionary_extremes_gensim_parity(spark):
+    """dictionary_extremes reproduces gensim filter_extremes semantics:
+    hand-computed doc frequencies, adaptive caps, and the <50 fallback
+    (which always fires at this corpus size: primary keeps < 50 words)."""
+    from reviews_quality_check_spark.operators.topics import dictionary_extremes
+
+    # 10 docs; 'common' in all 10 (df=10), 'often' in 8, 'rare' in 1
+    rows = []
+    for i in range(10):
+        words = ["common", "alpha%d" % i, "beta%d" % i, "gamma%d" % i]
+        if i < 8:
+            words.append("often")
+        if i == 0:
+            words.append("rare")
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["word"]: r["doc_freq"] for r in dictionary_extremes(df).collect()}
+    # corpus_size=10 < 5000 -> (no_below=2, no_above=0.8): primary keeps
+    # only 'often' (df=8 <= int(0.8*10)=8; 'common' df=10 > 8; singletons
+    # df=1 < 2) -> 1 < 50 -> fallback (2, 0.95): cap int(0.95*10)=9,
+    # keeps 'often' only again ('common' 10 > 9, singletons < 2)
+    assert kept == {"often": 8}
+
+
+def test_doc_term_matrix_counts(spark):
+    from reviews_quality_check_spark.operators.topics import doc_term_matrix
+
+    rows = [(i, "apple apple banana cherry dropme") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # every word df=10, corpus 10 docs: primary cap int(0.8*10)=8 keeps
+    # nothing -> fallback cap int(0.95*10)=9 keeps nothing either ->
+    # empty matrix (all words are in every doc)
+    assert doc_term_matrix(df).count() == 0
+    rows = [(i, "apple apple banana cherry") for i in range(10)] + [
+        (10 + j, "kiwi mango papaya guava lime") for j in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 20 docs, each word df=10 <= int(0.95*20)=19 (fallback fires since
+    # primary cap int(0.8*20)=16 keeps all 8 words -> 8 < 50 -> fallback)
+    out = doc_term_matrix(df).collect()
+    by = {(r["doc_id"], r["word"]): r["n"] for r in out}
+    assert by[(0, "apple")] == 2 and by[(0, "banana")] == 1
+    assert (0, "kiwi") not in by and (10, "kiwi")in by
+
+
+def test_entropy_and_coherence_exprs_match_row_formulas(spark):
+    """The registered doc_topic_entropy / topic_coherence_weighted
+    queries compute entropy and Σw_i·w_{i+1}/(k-1) relationally; this
+    pins the operator HOF expressions (used on real LDA topicDistribution
+    vectors) to the same arithmetic on shared weight vectors."""
+    import pyspark.sql.functions as F
+
+    from reviews_quality_check_spark.operators.topics import topic_coherence_expr
+
+    vecs = [
+        (1, [0.5, 0.3, 0.2]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.25, 0.25, 0.25, 0.25]),
+        (4, [0.9]),
+    ]
+    df = spark.createDataFrame(vecs, "doc_id long, p array<double>")
+    ent = F.aggregate(
+        F.col("p"), F.lit(0.0),
+        lambda acc, x: acc - F.when(x > 1e-12, x * F.log2(x)).otherwise(F.lit(0.0)),
+    )
+    got = {
+        r["doc_id"]: (r["e"], r["c"])
+        for r in df.select(
+            "doc_id", ent.alias("e"), topic_coherence_expr(F.col("p")).alias("c")
+        ).collect()
+    }
+    import math
+
+    for doc_id, p in vecs:
+        e_ref = -sum(x * math.log2(x) for x in p if x > 1e-12)
+        k = len(p)
+        c_ref = 0.0 if k < 2 else sum(
+            p[i] * p[i + 1] for i in range(k - 1)
+        ) / (k - 1)
+        assert abs(got[doc_id][0] - e_ref) < 1e-12
+        assert abs(got[doc_id][1] - c_ref) < 1e-12
