@@ -65,6 +65,7 @@ def renumber_scalable(
     order_col: str,
     id_name: str = "new_id",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Sequential 1-based renumbering that scales: range-partition on the
     order column, count rows per partition (one cheap column-pruned job,
@@ -84,19 +85,24 @@ def renumber_scalable(
     twice: RangePartitioner samples its boundaries per exchange, and the
     count branch gets a column-pruned (hence canonically different, NOT
     reused) exchange whose boundaries drift from the numbering branch's
-    (measured: ids off by ±tens). ``localCheckpoint`` materializes the
-    ranged partitions once so both passes read identical blocks — the
-    same two-pass shape as RDD.zipWithIndex. On a real cluster prefer
-    checkpointing the ranged table to reliable storage (the runner's
-    Iceberg-style checkpoint pattern) so executor loss cannot invalidate
-    the pinned layout mid-run.
+    (measured: ids off by ±tens). The layout is pinned once so both
+    passes read identical blocks — the same two-pass shape as
+    RDD.zipWithIndex. By default the pin is ``localCheckpoint``
+    (executor-local, not durable); on a real cluster pass
+    ``checkpoint_dir`` pointing at reliable storage (the runner's
+    Iceberg-style checkpoint pattern) so executor loss costs a re-read
+    of the pinned layout instead of invalidating it mid-run
+    (operators/pinning.py).
     """
+    from reviews_quality_check_spark.operators.pinning import pin
+
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = (
-        df.repartitionByRange(n, F.col(order_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+    ranged = pin(
+        df.repartitionByRange(n, F.col(order_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        checkpoint_dir,
     )
     counts = {
         r["__pid"]: r["cnt"]

@@ -142,3 +142,80 @@ def test_connected_components_empty_edges(spark):
 
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(edges).count() == 0
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """Path-doubling scale proof (VERDICT r3 next-round #4): a 200-node
+    chain has diameter 199, so plain min-label propagation needs ~199
+    rounds; with per-round pointer doubling it must close within
+    max_iter=10 (~log2(199)+slack) — non-convergence would RAISE."""
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.dedup import connected_components
+
+    edges = (
+        spark.range(199)
+        .select(
+            (F.col("id") + 1000).alias("id_a"),
+            (F.col("id") + 1001).alias("id_b"),
+        )
+    )
+    got = connected_components(edges, max_iter=10).collect()
+    assert len(got) == 200
+    assert all(r["cluster_id"] == 1000 and r["cluster_size"] == 200 for r in got)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir pins each round to reliable storage (durable to
+    executor loss) and must produce identical labels to the default
+    localCheckpoint path."""
+    from reviews_quality_check_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 31), (31, 32), (32, 30)],
+        "id_a long, id_b long",
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r["node"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    base = {
+        r["node"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == base
+    import pathlib
+
+    files = list(pathlib.Path(ckpt).rglob("*"))
+    assert any(f.is_file() for f in files), "no reliable checkpoint written"
+
+
+def test_renumber_scalable_reliable_checkpoint(spark, tmp_path):
+    """renumber_scalable(checkpoint_dir=...) must (a) write the pinned
+    range layout to reliable storage, (b) equal the global-window
+    renumber, and (c) return identical ids when re-collected after the
+    in-memory blocks are dropped (the re-read comes from storage)."""
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.sample import renumber, renumber_scalable
+
+    df = (
+        spark.range(500)
+        .select(
+            (F.col("id") * 37 % 500).alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("payload"),
+        )
+        .distinct()
+    )
+    ckpt = str(tmp_path / "rn_ckpt")
+    out = renumber_scalable(df, "k", num_partitions=8, checkpoint_dir=ckpt)
+    got1 = {r["k"]: r["new_id"] for r in out.collect()}
+    expected = {r["k"]: r["new_id"] for r in renumber(df, "k").collect()}
+    assert got1 == expected
+    spark.catalog.clearCache()
+    got2 = {r["k"]: r["new_id"] for r in out.collect()}
+    assert got2 == got1
+    import pathlib
+
+    assert any(f.is_file() for f in pathlib.Path(ckpt).rglob("*"))
