@@ -5,16 +5,27 @@ Media is carried as opaque ``binary`` payloads with typed metadata
 ``mapInPandas`` so each Python worker touches whole record batches, and
 payload bytes never round-trip through the driver.
 
-The actual codec calls are STUBBED (Pillow/librosa/ffmpeg are not in
-this container): ``decode_image_features`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake extractor runs
-so the Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) is real and testable end-to-end.
+Two decode paths:
+
+- ``fake=True``: deterministic md5-seeded extractor — exercises the
+  identical Arrow/mapInPandas plumbing with content-dependent values
+  (used by the hex-payload oracle query, where DuckDB can recompute the
+  md5 arithmetic closed-form).
+- ``fake=False`` (default): REAL pure-Python container decoding via
+  ``decode_payload`` — full sample/pixel statistics for uncompressed
+  containers (WAV PCM, binary PPM) and header parsing for BMP/PNG,
+  all stdlib ``struct`` (no Pillow/librosa/ffmpeg in this container).
+  Compressed codecs (JPEG entropy decode, MP4/H.264) genuinely need
+  native libs; such payloads — and malformed ones — come back
+  ``decode_ok=False`` with zero features instead of raising, which is
+  the row-level failure semantics a 100 TB media scan needs (one rotten
+  byte range must not kill a 6-hour job).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,41 +46,242 @@ def _fake_features(payload: bytes | None, dim: int = 8) -> list[float]:
     return [((h[i % 16] / 255.0) * 2.0 - 1.0) for i in range(dim)]
 
 
+# ---------------------------------------------------------------------------
+# Real pure-Python container decoders (stdlib struct only).
+# Feature layout is fixed 8-dim per format so downstream schemas stay
+# stable; unused slots are 0.0. All float math is simple integer-sum /
+# constant divisions so an oracle can mirror it closed-form.
+# ---------------------------------------------------------------------------
+
+
+def _decode_wav(b: bytes):
+    """RIFF/WAVE with a PCM 'fmt ' chunk + 'data' chunk. Full sample
+    decode for 16-bit PCM: [channels, sample_rate, bits, n_frames,
+    duration_ms, mean_norm, peak_norm, 0]."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, sz = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    _audio_fmt, channels, rate, _brate, block_align, bits = fmt
+    if channels < 1 or rate < 1 or block_align < 1:
+        return None
+    n_frames = len(data) // block_align
+    duration_ms = n_frames * 1000.0 / rate
+    mean_norm = peak_norm = 0.0
+    if bits == 16 and n_frames > 0:
+        n_samp = len(data) // 2
+        samples = struct.unpack_from("<%dh" % n_samp, data, 0)
+        mean_norm = (sum(samples) / n_samp) / 32768.0
+        peak_norm = max(abs(s) for s in samples) / 32768.0
+    return [
+        float(channels), float(rate), float(bits), float(n_frames),
+        duration_ms, mean_norm, peak_norm, 0.0,
+    ]
+
+
+def _decode_ppm(b: bytes):
+    """Binary PPM (P6): full pixel decode — [width, height, maxval,
+    n_pixels, mean_r, mean_g, mean_b, 0] with channel means normalized
+    by maxval."""
+    if not b.startswith(b"P6"):
+        return None
+    # header = magic + 3 ints, whitespace/comment separated
+    fields, pos = [], 2
+    while len(fields) < 3 and pos < len(b):
+        c = b[pos : pos + 1]
+        if c == b"#":  # comment to EOL
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(b[start:pos])
+    if len(fields) < 3:
+        return None
+    try:
+        width, height, maxval = (int(f) for f in fields)
+    except ValueError:
+        return None
+    pos += 1  # single whitespace after maxval
+    npix = width * height
+    if width < 1 or height < 1 or maxval < 1 or len(b) < pos + 3 * npix:
+        return None
+    px = b[pos : pos + 3 * npix]
+    means = [
+        (sum(px[c::3]) / npix) / maxval for c in range(3)
+    ]
+    return [
+        float(width), float(height), float(maxval), float(npix),
+        means[0], means[1], means[2], 0.0,
+    ]
+
+
+def _decode_bmp(b: bytes):
+    """BITMAPINFOHEADER parse: [width, height, bpp, file_size, 0×4]."""
+    if len(b) < 30 or b[0:2] != b"BM":
+        return None
+    file_size = struct.unpack_from("<I", b, 2)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    return [
+        float(width), float(height), float(bpp), float(file_size),
+        0.0, 0.0, 0.0, 0.0,
+    ]
+
+
+def _decode_png(b: bytes):
+    """PNG IHDR parse (header-only — IDAT inflate needs zlib+unfilter
+    and is out of feature scope): [width, height, bit_depth,
+    color_type, 0×4]."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(b) < 33 or not b.startswith(sig) or b[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack_from(">II", b, 16)
+    bit_depth, color_type = b[24], b[25]
+    return [
+        float(width), float(height), float(bit_depth), float(color_type),
+        0.0, 0.0, 0.0, 0.0,
+    ]
+
+
+_DECODERS = (
+    ("wav", _decode_wav),
+    ("ppm", _decode_ppm),
+    ("bmp", _decode_bmp),
+    ("png", _decode_png),
+)
+
+
+def decode_payload(payload) -> tuple[str, list[float], bool]:
+    """(format, 8-dim features, decode_ok) for one payload. Magic-based
+    dispatch; anything unrecognized/malformed -> ('unknown', zeros,
+    False) — never raises."""
+    if payload is None:
+        return ("unknown", [0.0] * 8, False)
+    b = bytes(payload)
+    for name, dec in _DECODERS:
+        try:
+            feats = dec(b)
+        except Exception:
+            feats = None
+        if feats is not None:
+            return (name, feats, True)
+    return ("unknown", [0.0] * 8, False)
+
+
+DECODE_SCHEMA = (
+    "media_id long, kind string, fmt string, feat_dim int, "
+    "features array<float>, decode_ok boolean"
+)
+
+
 def extract_media_features(
     df: DataFrame, dim: int = 8, fake: bool = False, batch_rows: int = 256
 ) -> DataFrame:
     """Decode payloads → fixed-dim feature vectors via mapInPandas.
 
-    Real decode path is a stub: raises NotImplementedError (no media
-    libraries in this environment). ``fake=True`` runs the deterministic
-    fake extractor through the identical batch path.
+    ``fake=False`` (default) runs the real pure-Python container
+    decoders (``decode_payload``); ``fake=True`` runs the md5-seeded
+    deterministic extractor through the identical batch path (used where
+    the oracle must recompute features from hex strings closed-form).
 
     Scale notes: repartition by media_id spreads payload bytes evenly;
-    maxRecordsPerBatch bounds Arrow batch memory (payloads can be MBs).
+    spark.sql.execution.arrow.maxRecordsPerBatch bounds Arrow batch
+    memory (payloads can be MBs).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decoding requires Pillow/librosa/ffmpeg, not "
-                    "available in this environment; pass fake=True for the "
-                    "deterministic test extractor"
-                )
-            out = pd.DataFrame(
+            if fake:
+                feats = [_fake_features(p, dim) for p in pdf["payload"]]
+                ok = [p is not None for p in pdf["payload"]]
+            else:
+                decoded = [decode_payload(p) for p in pdf["payload"]]
+                feats = [f[:dim] + [0.0] * max(0, dim - 8) for _, f, _ in decoded]
+                ok = [k for _, _, k in decoded]
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "feat_dim": dim,
-                    "features": [_fake_features(p, dim) for p in pdf["payload"]],
-                    "decode_ok": [p is not None for p in pdf["payload"]],
+                    "features": feats,
+                    "decode_ok": ok,
                 }
             )
-            yield out
 
     return (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, "media_id")
         .mapInPandas(run, schema=FEATURE_SCHEMA)
+    )
+
+
+def synth_container_payloads(ids_df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL container payloads from an id column: per id,
+    the 16 md5(str(id)) digest bytes parameterize one of three genuine
+    binary containers (id%3: 0 -> 16-bit PCM WAV, 1 -> 2x2 binary PPM,
+    2 -> BITMAPINFOHEADER BMP). Because every byte derives from the md5
+    HEX string, a SQL oracle can recompute the decoder's expected
+    feature values closed-form from md5(id::varchar) — certifying the
+    real decode path (decode_payload) value-exactly without the oracle
+    engine parsing binaries.
+
+    Output: (media_id, kind, payload binary).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            kinds, payloads = [], []
+            for i in ids:
+                h = hashlib.md5(str(i).encode()).digest()
+                m = i % 3
+                if m == 0:
+                    samples = [(b - 128) * 256 for b in h[:8]]
+                    data = struct.pack("<8h", *samples)
+                    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                    payload = (
+                        b"RIFF"
+                        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                        + b"WAVE"
+                        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(data)) + data
+                    )
+                    kind = "audio"
+                elif m == 1:
+                    payload = b"P6\n2 2\n255\n" + h[:12]
+                    kind = "image"
+                else:
+                    width, height = h[0] + 1, h[1] + 1
+                    payload = (
+                        b"BM" + struct.pack("<I", 54) + b"\x00" * 4
+                        + struct.pack("<I", 54) + struct.pack("<I", 40)
+                        + struct.pack("<ii", width, height)
+                        + struct.pack("<HH", 1, 24) + b"\x00" * 24
+                    )
+                    kind = "image"
+                kinds.append(kind)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    return ids_df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema="media_id long, kind string, payload binary"
     )
 
 
