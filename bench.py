@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "near_dup_clusters",
     "near_dup_retained_docs",
     "text_dedup_retained",
+    "media_decode_features",
+    "lda_dictionary_extremes",
+    "lda_doc_term_matrix",
+    "doc_topic_entropy",
+    "topic_coherence_weighted",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)
@@ -118,17 +123,28 @@ def main() -> None:
     # across rounds. Queries are cheap at sf0.1; the second pass also
     # reuses the now-JIT-compiled codegen, so best-of-2 is the
     # steady-state number a long-lived cluster executor would see.
+    # Both passes are recorded and the median is reported alongside the
+    # min (ADVICE r3: min-of-N biases headlines upward and r1/r2
+    # baselines were single-shot — cross-round deltas are methodology-
+    # mixed unless both stats are visible).
+    import statistics
+
     timings: dict[str, float] = {}
+    timings_median: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        best = None
+        passes_q = []
         for _ in range(2):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr)
+            passes_q.append(time.perf_counter() - t0)
+        timings[name] = round(min(passes_q), 3)
+        timings_median[name] = round(statistics.median(passes_q), 3)
+        print(
+            f"[bench] {name}: min {timings[name]:.2f}s "
+            f"median {timings_median[name]:.2f}s",
+            file=sys.stderr,
+        )
 
     # north-star headline: constraint-suite validation throughput on the
     # pages shape (url/warc_ts/html/text/lang), suite = null/blank + lang
@@ -147,11 +163,22 @@ def main() -> None:
     pages_path = tempfile.mkdtemp(prefix="rqc_bench_") + "/pages"
     synth_pages(spark, n_pages).write.parquet(pages_path)
     pages = spark.read.parquet(pages_path)
+    # exact-dedup fingerprint on the same scan: uniqueness over the
+    # normalized-text md5 is the A1 exact-dup operator expressed as a
+    # constraint (one extra projection, no second scan)
+    from reviews_quality_check_spark.functions.text import norm_text
+
+    pages = pages.withColumn("fp", F.md5(norm_text(F.col("text"))))
     suite = C.Suite(name="pages_suite", row_key="url")
     suite.add(C.not_blank("text"))
     suite.add(C.in_set("lang", VALID_LANGS))
     suite.add(C.expression_floor("flesch_floor", flesch_reading_ease_fast("text"), 5.0))
     suite.add(C.uniqueness("url"))
+    suite.add(C.uniqueness("fp"))
+    # window-over-window drift ceiling on the same table (KL across
+    # daily lang distributions) — the headline pages/s now covers the
+    # drift path too (VERDICT r3 next-round #7)
+    suite.add(C.max_drift("warc_ts", "lang", "1 day", threshold=5.0))
 
     # warm-up: two untimed full passes. Cold JVMs pay tiered-JIT warm-up
     # (Janino codegen + C2 compilation of regex/codegen methods, ~50s);
@@ -181,16 +208,22 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    timings_median["pages_suite_validation"] = round(statistics.median(passes), 3)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_bench_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": timings_median,
+        "total_bench_seconds_median": round(sum(timings_median.values()), 3),
         "sf": sf,
         "cores": n_cores,
         "pages_validated": n_pages,
         "validated_pages_per_sec": pages_per_sec,
+        "validated_pages_per_sec_median": round(
+            n_pages / statistics.median(passes), 1
+        ),
         "suite_passes_sec": passes,
     }
     spark.stop()

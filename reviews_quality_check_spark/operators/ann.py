@@ -126,10 +126,17 @@ def band_buckets_pandas_udf(dim: int, bands: int, rows_per_band: int):
     """Arrow-vectorized twin of band_bucket_exprs: one pandas UDF emits
     all band buckets as array<long>.
 
-    BIT-IDENTICAL to the expression path (pytest-pinned): the plane dot
-    is accumulated per-dimension in the same left-to-right order as
-    ``dot()``'s fold (acc = acc + x_j * p_j, acc0 = 0.0) with the same
-    float64 ops — numpy just applies each step across the whole batch.
+    BIT-IDENTICAL to the expression path FOR WELL-FORMED dim-length
+    vectors (pytest-pinned): the plane dot is accumulated per-dimension
+    in the same left-to-right order as ``dot()``'s fold
+    (acc = acc + x_j * p_j, acc0 = 0.0) with the same float64 ops —
+    numpy just applies each step across the whole batch. Malformed rows
+    (null / wrong-length vectors) differ BY DESIGN: this path emits
+    null buckets (the row drops out of LSH candidates), while the
+    expression path's null dot falls through each sign test's
+    otherwise(0) to bucket 0 — keeping junk rows out of a real bucket
+    is the better behavior, so the contract is intentionally narrowed
+    rather than matched.
     The expression path costs bands*rows_per_band interpreted HOF lambda
     folds PER ROW (measured 6.4s for 30k x 32 planes at sf0.1); this is
     dim*planes vectorized ops per BATCH (~0.2s) — the 'vectorized

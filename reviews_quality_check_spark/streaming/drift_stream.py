@@ -136,7 +136,13 @@ def incremental_drift_foreach_batch(
     mid state-write corrupts only the version the replay is about to
     rewrite. A missing state dir is only treated as "first batch" when
     the directory genuinely has no committed versions — any other read
-    failure RAISES instead of silently restarting drift history.
+    failure RAISES instead of silently restarting drift history, and so
+    does restarting with a FRESH checkpoint dir (batch ids reset) over a
+    previous run's state/drift dirs (committed versions >= batch_id, or
+    stale batch=N drift subdirs). Give each query run its own
+    state_path; the one undetectable corner is a prior run that wrote
+    ONLY batch 0 and is then restarted fresh at batch 0 — run-id
+    namespacing of state_path is the caller-side fix for that.
 
     Returns (callback, drift_path); read drift with
     ``spark.read.parquet(drift_path)`` (partition discovery unions the
@@ -144,8 +150,8 @@ def incremental_drift_foreach_batch(
     """
     drift_path = state_path.rstrip("/") + "_drift"
 
-    def _state_versions(spark, dir_path):
-        """Committed v=<n> subdir numbers (possibly empty list)."""
+    def _numbered_subdirs(spark, dir_path, prefix):
+        """Committed <prefix><n> subdir numbers (possibly empty list)."""
         sc = spark.sparkContext
         hadoop_conf = sc._jsc.hadoopConfiguration()
         p = sc._jvm.org.apache.hadoop.fs.Path(dir_path)
@@ -155,12 +161,15 @@ def incremental_drift_foreach_batch(
         versions = []
         for st in fs.listStatus(p):
             name = st.getPath().getName()
-            if name.startswith("v="):
+            if name.startswith(prefix):
                 try:
-                    versions.append(int(name[2:]))
+                    versions.append(int(name[len(prefix):]))
                 except ValueError:
                     continue
         return sorted(versions)
+
+    def _state_versions(spark, dir_path):
+        return _numbered_subdirs(spark, dir_path, "v=")
 
     def callback(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -172,6 +181,36 @@ def incremental_drift_foreach_batch(
         prior = [v for v in versions if v < batch_id]
         prev = max(prior) if prior else None
         if prev is None:
+            # Restart-with-fresh-checkpoint guard: batch ids reset to 0
+            # when a stream starts on a NEW checkpoint dir, but
+            # state/drift dirs from a previous run would (a) silently
+            # restart drift history (prior=[] at batch 0) and (b) leave
+            # stale batch=N drift subdirs that partition discovery
+            # unions into reads. Both are loud errors, not first-batch.
+            if versions:
+                raise RuntimeError(
+                    f"incremental drift state at {state_path} already has "
+                    f"committed versions {versions} >= batch_id={batch_id}: "
+                    "the stream was restarted with a fresh checkpoint dir "
+                    "over a previous run's state. Use a new state_path per "
+                    "query run (or delete the old state + drift dirs) — "
+                    "silently treating this as first-batch would restart "
+                    "drift history and union stale drift rows into reads"
+                )
+            stale_batches = [
+                b
+                for b in _numbered_subdirs(spark, drift_path, "batch=")
+                if b > batch_id
+            ]
+            if stale_batches:
+                raise RuntimeError(
+                    f"drift dir {drift_path} holds batch subdirs "
+                    f"{stale_batches} from a previous run (current "
+                    f"batch_id={batch_id}): restarting with a fresh "
+                    "checkpoint over an old drift dir would union stale "
+                    "rows into every read. Use a new state_path per query "
+                    "run or delete the old drift dir"
+                )
             state = None
         else:
             # no try/except: an unreadable committed version is a real

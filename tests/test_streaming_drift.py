@@ -206,3 +206,33 @@ def test_sessionize_stream_session_windows(spark, tmp_path):
     assert got[(1, "2024-01-01 00:00:00")] == 2
     assert got[(1, "2024-01-01 02:00:00")] == 1
     assert got[(2, "2024-01-01 00:05:00")] == 1
+
+
+def test_incremental_drift_fresh_checkpoint_over_stale_state_raises(spark, tmp_path):
+    """Restarting a stream with a fresh checkpoint dir (batch ids reset
+    to 0) over a previous run's state/drift dirs must RAISE loudly, not
+    silently restart drift history (ADVICE r3 #1)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.streaming.drift_stream import (
+        incremental_drift_foreach_batch,
+    )
+
+    state_path = str(tmp_path / "state")
+    batch = spark.range(3).select(
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("window_start"),
+        F.concat(F.lit("c"), F.col("id")).alias("category"),
+        F.lit(5).cast("long").alias("cnt"),
+    )
+    # previous run committed state version v=7
+    batch.write.parquet(f"{state_path}/v=7")
+    cb, drift_path = incremental_drift_foreach_batch(state_path, metric="kl")
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        cb(batch, 0)
+    # stale drift-only leftovers (state purged, drift dir not) also raise
+    state2 = str(tmp_path / "state2")
+    cb2, drift2 = incremental_drift_foreach_batch(state2, metric="kl")
+    batch.write.parquet(f"{drift2}/batch=3")
+    with pytest.raises(RuntimeError, match="previous run"):
+        cb2(batch, 0)
