@@ -172,6 +172,16 @@ def quantile_digest(
     Stage 2 (merge): applyInPandas per group concatenates partial
     centroids, re-compresses, and reads quantiles off the weighted CDF.
 
+    Group routing (r4): only groups with MORE than k distinct values
+    take the Python stages — for n <= k, _compress is the identity, so
+    those groups read quantiles off the weighted CDF with pure JVM
+    window/aggregate expressions instead (np.interp arithmetic
+    op-for-op; bit-equality pytest-pinned). This removes the
+    per-tiny-group applyInPandas dispatch that measured 4x slower than
+    a naive single-stage on a 100k-small-groups + one-hot-key fixture,
+    while hot keys keep the salted parallel sketch (tools/bench_skew.py
+    numbers in BENCH.md).
+
     Deterministic across partitionings/cluster sizes: every stage is a
     pure function of the value multiset (salt = hash(value), weights from
     an exact count) — pinned by tests/test_drift_stats.py.
@@ -195,13 +205,20 @@ def quantile_digest(
         F.count(F.lit(1)).cast("double").alias("w")
     )
 
+    # split groups by distinct-value count: <= k -> pure-expression CDF
+    # read-off (no Python); > k (hot keys) -> salted partial/merge sketch
+    gsize = weighted.groupBy("group_key").agg(F.count(F.lit(1)).alias("__nc"))
+    small_keys = gsize.filter(F.col("__nc") <= k).select("group_key")
+    big_keys = gsize.filter(F.col("__nc") > k).select("group_key")
+    weighted_big = weighted.join(big_keys, "group_key", "left_semi")
+
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         cv, cw = _compress(pdf["v"].to_numpy(), pdf["w"].to_numpy(), k)
         return pd.DataFrame(
             {"group_key": pdf["group_key"].iloc[0], "cv": [cv.tolist()], "cw": [cw.tolist()]}
         )
 
-    partials = weighted.groupBy("group_key", "salt").applyInPandas(
+    partials = weighted_big.groupBy("group_key", "salt").applyInPandas(
         partial, "group_key string, cv array<double>, cw array<double>"
     )
 
@@ -220,6 +237,61 @@ def quantile_digest(
             {"group_key": pdf["group_key"].iloc[0], "n": [float(total)], "quantiles": [qs]}
         )
 
-    return partials.groupBy("group_key").applyInPandas(
+    merged_big = partials.groupBy("group_key").applyInPandas(
         merge, "group_key string, n double, quantiles array<double>"
     )
+
+    # ------------------------------------------------------------------
+    # Small-group fast path (skew/overhead fix, measured r4): groups
+    # whose distinct-value count is <= k need NO compression (_compress
+    # is identity at n <= k), so routing them through applyInPandas
+    # costs one Python dispatch per group for nothing — on a 2M-row
+    # fixture with 100k small keys + one 90% hot key, the all-Python
+    # two-stage path measured 33.0s vs 8.1s for a naive unsalted
+    # single-stage (tools/bench_skew.py). Small groups instead read
+    # their quantiles off the weighted CDF with pure JVM expressions —
+    # the exact np.interp arithmetic, op-for-op (the formula the
+    # nchars_digest DuckDB oracle already mirrors bit-exactly):
+    #   slope = (vh - vl) / (ch - cl); q = slope * (tgt - cl) + vl.
+    # Bit-equality with the Python path is pytest-pinned
+    # (tests/test_drift_stats.py); cum/total stay exact because weights
+    # are integer counts (x.0/x.5 grid points).
+    # Big groups (the hot keys) keep the salted partial/merge sketch —
+    # that is where parallelizing one key's work actually pays.
+    # ------------------------------------------------------------------
+    from pyspark.sql.window import Window
+
+    ws = (
+        Window.partitionBy("group_key")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("group_key")
+    small_rows = weighted.join(small_keys, "group_key", "left_semi").select(
+        "group_key",
+        "v",
+        (F.sum("w").over(ws) - F.col("w") / 2.0).alias("cum"),
+        F.sum("w").over(wg).alias("total"),
+    )
+    aggs = [F.first("total").alias("n")]
+    for i, q in enumerate(qlist):
+        tgt = F.lit(q) * F.col("total")
+        point = F.struct(F.col("cum").alias("c"), F.col("v").alias("x"))
+        aggs.append(F.max(F.when(F.col("cum") <= tgt, point)).alias(f"lo{i}"))
+        aggs.append(F.min(F.when(F.col("cum") >= tgt, point)).alias(f"hi{i}"))
+    small_agg = small_rows.groupBy("group_key").agg(*aggs)
+    vals = []
+    for i, q in enumerate(qlist):
+        cl, vl = F.col(f"lo{i}.c"), F.col(f"lo{i}.x")
+        ch, vh = F.col(f"hi{i}.c"), F.col(f"hi{i}.x")
+        tgt = F.lit(q) * F.col("n")
+        vals.append(
+            F.when(cl.isNull(), vh)
+            .when(ch.isNull(), vl)
+            .when(cl == ch, vl)
+            .otherwise((vh - vl) / (ch - cl) * (tgt - cl) + vl)
+        )
+    merged_small = small_agg.select(
+        "group_key", "n", F.array(*vals).alias("quantiles")
+    )
+    return merged_big.unionByName(merged_small)

@@ -183,3 +183,68 @@ def test_nchars_digest_identity_regime_headroom(spark):
         "raise k in the nchars_digest query or drop its value oracle "
         "to the bounded-error pytest"
     )
+
+
+def test_quantile_digest_expression_path_matches_numpy(spark):
+    """Small groups (distinct values <= k) take the pure-JVM CDF
+    read-off; it must equal the numpy identity-compression + np.interp
+    procedure BIT-FOR-BIT (same arithmetic, op for op)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.column_stats import quantile_digest
+
+    data = []
+    vals = {
+        "a": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5],
+        "b": [10.5, 11.25, 12.0, 12.0, 99.0],
+        "c": [7.0],
+    }
+    for g, vs in vals.items():
+        data += [(g, float(v)) for v in vs]
+    df = spark.createDataFrame(data, "g string, x double").repartition(7)
+    qs = (0.25, 0.5, 0.75, 0.95)
+    got = {
+        r["group_key"]: (r["n"], r["quantiles"])
+        for r in quantile_digest(df, "x", group_by="g", quantiles=qs, k=64).collect()
+    }
+    for g, vs in vals.items():
+        v, w = np.unique(np.asarray(vs, dtype=float), return_counts=True)
+        w = w.astype(float)
+        cum = np.cumsum(w) - w / 2.0
+        total = w.sum()
+        expect = [float(np.interp(q * total, cum, v)) for q in qs]
+        assert got[g][0] == total
+        assert got[g][1] == expect, f"group {g}: {got[g][1]} != {expect}"
+
+
+def test_quantile_digest_hot_and_small_groups_together(spark):
+    """A > k-distinct hot group routes through the salted Python sketch
+    while small groups take the expression path — one call, both
+    certified: small groups exact vs numpy, hot group within the
+    total/k rank-error bound, output covers every group."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.column_stats import quantile_digest
+
+    hot = spark.range(5000).select(
+        F.lit("hot").alias("g"), F.col("id").cast("double").alias("x")
+    )
+    small = spark.range(10).select(
+        F.lit("small").alias("g"), (F.col("id") * 3).cast("double").alias("x")
+    )
+    df = hot.unionByName(small)
+    out = {
+        r["group_key"]: r["quantiles"]
+        for r in quantile_digest(df, "x", group_by="g", k=64).collect()
+    }
+    assert set(out) == {"hot", "small"}
+    # hot: uniform 0..4999 -> quantile q ~ 5000q, rank error <= 5000/64
+    for q, gotv in zip((0.25, 0.5, 0.75, 0.95), out["hot"]):
+        assert abs(gotv - 5000 * q) <= 5000 / 64 + 1
+    v = np.arange(10, dtype=float) * 3
+    w = np.ones(10)
+    cum = np.cumsum(w) - 0.5
+    expect = [float(np.interp(q * 10, cum, v)) for q in (0.25, 0.5, 0.75, 0.95)]
+    assert out["small"] == expect
