@@ -13,7 +13,8 @@ cannot produce.
 
 The workload is the north-star shape: the pages constraint suite
 (not_blank + lang referential + Flesch floor + salted uniqueness on
-url) over a deterministic synthetic pages table (128 input files so
+url + exact-dedup fingerprint uniqueness + daily lang drift ceiling)
+over a deterministic synthetic pages table (128 input files so
 every parallelism level has full task supply), two untimed warm-up
 passes (tiered JIT), verdicts digest-checked identical across levels.
 
@@ -51,11 +52,15 @@ pages_path = tempfile.mkdtemp(prefix="rqc_scaling_") + "/pages"
 # 128 files: identical physical layout and full task supply at every level
 synth_pages(spark, n_pages).repartition(128).write.parquet(pages_path)
 pages = spark.read.parquet(pages_path)
+from reviews_quality_check_spark.functions.text import norm_text
+pages = pages.withColumn("fp", F.md5(norm_text(F.col("text"))))
 suite = C.Suite(name="pages_suite", row_key="url")
 suite.add(C.not_blank("text"))
 suite.add(C.in_set("lang", VALID_LANGS))
 suite.add(C.expression_floor("flesch_floor", flesch_reading_ease_fast("text"), 5.0))
 suite.add(C.uniqueness("url"))
+suite.add(C.uniqueness("fp"))          # exact-dedup fingerprint, same scan
+suite.add(C.max_drift("warc_ts", "lang", "1 day", threshold=5.0))  # window drift
 
 def materialize(df):
     df.write.mode("overwrite").format("noop").save()
@@ -135,7 +140,7 @@ def main() -> None:
     eff_2_8 = (results[2]["seconds"] / results[8]["seconds"]) / 4.0
     eff_8_32 = (results[8]["seconds"] / results[32]["seconds"]) / 4.0
     summary = {
-        "workload": "pages constraint suite (4 checks incl. salted uniqueness)",
+        "workload": "pages constraint suite (6 checks incl. salted uniqueness, exact-dedup fp, daily lang drift)",
         "n_pages": n_pages,
         "levels": {str(c): results[c] for c in LEVELS},
         "scaling_efficiency_2_to_8": round(eff_2_8, 3),
@@ -159,7 +164,9 @@ seed=42, 128 parquet files so every level has full task supply).
 
 Workload: the flagship pages constraint suite — not_blank(text) +
 in_set(lang) referential + Flesch floor (flat-regex, whole-stage
-codegen) + salted uniqueness(url) — over {n_pages:,} synthetic
+codegen) + salted uniqueness(url) + exact-dedup fingerprint uniqueness
+(md5 of normalized text, same scan) + daily lang KL-drift ceiling —
+over {n_pages:,} synthetic
 Common-Crawl-shaped pages, verdicts + violations fully materialized,
 two untimed warm-up passes (tiered JIT), then best of two timed passes
 per level (all passes recorded — the host shows 20-40% run variance).
@@ -191,7 +198,13 @@ Reference baseline (BASELINE.md): 13.4 reviews/s end-to-end single
 node; this engine validates {results[32]['pages_per_sec']:,.0f} pages/s
 on 32 local cores ({results[32]['pages_per_sec'] / 13.4:,.0f}x).
 """
-    (REPO / "BENCH.md").write_text(md)
+    # preserve everything below the marker (query bench, skew, notes)
+    marker = "<!-- SCALING-END -->"
+    bench_md = REPO / "BENCH.md"
+    tail = ""
+    if bench_md.exists() and marker in bench_md.read_text():
+        tail = bench_md.read_text().split(marker, 1)[1]
+    bench_md.write_text(md + "\n" + marker + tail)
     print(json.dumps(summary))
 
 
