@@ -3,8 +3,10 @@
 ``entry(spark)`` runs the flagship constraint-suite verdict query on
 sf0.001; ``queries()`` exposes every implemented operator from
 SURVEY.md §2 (plus the training-pipeline additions); ``oracle_sql()``
-returns the matching DuckDB SQL per query (all but the hash-engine-
-specific SimHash bucketing, which gets the rows-only check).
+returns the matching DuckDB SQL per query — as of round 4, EVERY
+registered query has an oracle (zero rows-only rows: NFKD sanitize is
+oracled via planted unicode literals, and the seeded LDA model fit is
+unregistered/pytest-only while its deterministic halves are oracled).
 """
 
 from __future__ import annotations
