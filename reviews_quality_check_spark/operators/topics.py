@@ -134,36 +134,16 @@ def topics_summary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 # ---------------------------------------------------------------------------
 
 
-def dictionary_extremes(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """The reference's adaptive dictionary pruning (topic.py:186-199):
+def _extremes_filter(df: DataFrame, dfreq: DataFrame, n_docs: DataFrame) -> DataFrame:
+    """filter_extremes threshold logic over prebuilt doc-frequency and
+    doc-count frames — shared so doc_term_matrix can derive BOTH from
+    its per-(doc, word) counts shuffle (one tokenization pass; the
+    second consumer hits ReusedExchange, not a second text scan —
+    tokenization is the dominant per-row cost at web scale).
 
-      corpus_size = total docs (BEFORE the >=3-token gate);
-      n_docs      = docs surviving the gate (gensim Dictionary.num_docs);
-      (no_below, no_above) = (2, 0.8) if corpus_size < 5000 else (3, 0.7);
-      keep words with  no_below <= docfreq <= int(no_above * n_docs);
-      if fewer than 50 words survive, refilter with (2, 0.95).
-
-    gensim's keep_n default (100000) is a no-op at every vocabulary size
-    this corpus can produce and is documented rather than modeled.
-    Both the adaptive branch and the <50 fallback are evaluated inside
-    the plan (scalar broadcast joins), so the same query is correct at
-    every scale factor — including sf0.1 where corpus_size == 5000 flips
-    the branch to (3, 0.7).
-
-    Output: (word, doc_freq) for the kept vocabulary.
-    """
-    toks = _token_df(df, text_col, id_col)
+    ``dfreq``: (word, doc_freq). ``n_docs``: 1 row (n_docs) = docs
+    surviving the >=3-token gate."""
     corpus_size = df.select(F.count(F.lit(1)).alias("n_total"))
-    n_docs = toks.select(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = (
-        toks.select(F.explode(F.array_distinct("tokens")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-    )
     scalars = corpus_size.crossJoin(n_docs)
     nb1 = F.when(F.col("n_total") < 5000, F.lit(2)).otherwise(F.lit(3))
     na1 = F.when(F.col("n_total") < 5000, F.lit(0.8)).otherwise(F.lit(0.7))
@@ -195,6 +175,59 @@ def dictionary_extremes(
     )
 
 
+def dictionary_extremes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The reference's adaptive dictionary pruning (topic.py:186-199):
+
+      corpus_size = total docs (BEFORE the >=3-token gate);
+      n_docs      = docs surviving the gate (gensim Dictionary.num_docs);
+      (no_below, no_above) = (2, 0.8) if corpus_size < 5000 else (3, 0.7);
+      keep words with  no_below <= docfreq <= int(no_above * n_docs);
+      if fewer than 50 words survive, refilter with (2, 0.95).
+
+    gensim's keep_n default (100000) is a no-op at every vocabulary size
+    this corpus can produce and is documented rather than modeled.
+    Both the adaptive branch and the <50 fallback are evaluated inside
+    the plan (scalar broadcast joins), so the same query is correct at
+    every scale factor — including sf0.1 where corpus_size == 5000 flips
+    the branch to (3, 0.7).
+
+    Output: (word, doc_freq) for the kept vocabulary.
+    """
+    from reviews_quality_check_spark.operators.pinning import pin
+
+    toks = _token_df(df, text_col, id_col)
+    # single-pass shape: a sentinel "word" ('\x00' — unreachable through
+    # the tokenizer) is appended per doc, so ONE explode->groupBy shuffle
+    # yields both the per-word doc frequencies and (as the sentinel's
+    # frequency) the surviving-doc count. The vocabulary-sized result is
+    # PINNED before its (filter-pushdown-prone) consumers read it —
+    # without the pin, Catalyst pushes the word==sentinel /
+    # word!=sentinel predicates below the aggregate into per-branch
+    # scans and the corpus is tokenized once per consumer (measured
+    # 1.01s vs 0.77s pinned at sf0.1). checkpoint_dir upgrades the pin
+    # to reliable storage (operators/pinning.py).
+    sentinel = "\x00"
+    hits = toks.select(
+        F.explode(
+            F.concat(F.array_distinct("tokens"), F.array(F.lit(sentinel)))
+        ).alias("word")
+    )
+    dfreq0 = pin(
+        hits.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq")),
+        checkpoint_dir,
+    )
+    n_docs = dfreq0.filter(F.col("word") == sentinel).select(
+        F.col("doc_freq").alias("n_docs")
+    )
+    dfreq = dfreq0.filter(F.col("word") != sentinel)
+    return _extremes_filter(df, dfreq, n_docs)
+
+
 def doc_term_matrix(
     df: DataFrame,
     text_col: str = "text",
@@ -204,15 +237,21 @@ def doc_term_matrix(
     per (doc_id, word) with the in-doc term count, restricted to words
     kept by :func:`dictionary_extremes`. This IS the LDA input corpus —
     certifying it certifies everything deterministic upstream of the
-    sampler. Scale shape: explode -> count -> broadcast semi-join on the
-    (tiny) kept vocabulary."""
+    sampler. Scale shape: ONE tokenization pass feeds both the doc-freq
+    pruning and the per-doc counts (explode -> count), then a broadcast
+    semi-join on the (tiny) kept vocabulary."""
     toks = _token_df(df, text_col, id_col)
     counts = (
         toks.select("doc_id", F.explode("tokens").alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    kept = dictionary_extremes(df, text_col, id_col).select("word")
+    # doc_freq(word) == #(doc_id, word) rows and n_docs == #distinct
+    # doc_id — both derivable from the counts shuffle itself, so the
+    # pruning consumers hit ReusedExchange instead of re-tokenizing
+    dfreq = counts.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = counts.select(F.count_distinct("doc_id").alias("n_docs"))
+    kept = _extremes_filter(df, dfreq, n_docs).select("word")
     return counts.join(F.broadcast(kept), "word").select("doc_id", "word", "n")
 
 
