@@ -33,9 +33,17 @@ def test_all_query_outputs_are_scalar(spark):
     assert offenders == [], f"non-scalar output columns: {offenders}"
 
 
-def test_oracle_keys_subset_of_queries():
+def test_every_registered_query_has_an_oracle():
+    """r4 invariant: a registered-but-oracle-less query is the one thing
+    that can keep a driver sample from being 100% green (the r3
+    lda_topics lesson) — the registry must stay FULLY oracled. Genuinely
+    non-SQL-expressible outputs (seeded model fits) stay out of the
+    registry and are pytest-verified instead."""
     import __spark_entry__ as entry
 
     q = set(entry.queries())
     o = set(entry.oracle_sql())
-    assert o <= q, f"oracle entries without a query: {sorted(o - q)}"
+    assert o == q, (
+        f"oracle entries without a query: {sorted(o - q)}; "
+        f"queries without an oracle: {sorted(q - o)}"
+    )
