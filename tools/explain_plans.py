@@ -79,6 +79,37 @@ EXPECT: dict[str, dict] = {
         # bucketed range join: equi-join on epoch buckets, never BNLJ
         "plan_not_contains": "CartesianProduct|BroadcastNestedLoopJoin",
     },
+    # --- round-4 queries ---
+    "lda_doc_term_matrix": {
+        # kept vocabulary joins broadcast; corpus never shuffles on text
+        "plan_contains": "BroadcastHashJoin",
+        "read_cols_max": 2,                      # doc_id + text
+    },
+    "doc_topic_entropy": {
+        # top-10 words broadcast into the counts join; no cartesian
+        "plan_contains": "BroadcastHashJoin",
+        "plan_not_contains": "CartesianProduct",
+        "read_cols_max": 2,
+    },
+    "topic_coherence_weighted": {
+        "plan_not_contains": "CartesianProduct",
+        "read_cols_max": 2,
+    },
+    "media_decode_features": {
+        # real decode path: Arrow mapInPandas stages, id column only
+        "plan_contains": "MapInPandas",
+        "read_cols_max": 1,                      # doc_id only
+    },
+    "sanitized_preview": {
+        "plan_contains": "ArrowEvalPython",      # vectorized UDF, not BatchEval
+        "read_cols_max": 2,
+    },
+    "nchars_digest": {
+        # small groups: JVM window read-off; no per-group Python unless
+        # a group exceeds k distinct values
+        "plan_not_contains": "CartesianProduct",
+        "read_cols_max": 2,                      # lang + n_chars
+    },
 }
 
 
