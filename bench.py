@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "lda_doc_term_matrix",
     "doc_topic_entropy",
     "topic_coherence_weighted",
+    "gopher_quality_flags",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

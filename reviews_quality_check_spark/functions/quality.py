@@ -158,3 +158,82 @@ def predict_lang_ngram(col: Column | str) -> Column:
     for lg in reversed(LANG_PRIORITY):
         expr = F.when((best > 0) & (hits[lg] == best), F.lit(lg)).otherwise(expr)
     return expr
+
+
+# ---------------------------------------------------------------------------
+# Gopher / C4 web-text quality-filter rules (engine addition for the
+# LLM-training-data pipeline; public provenance: Rae et al. 2021
+# "Scaling Language Models: ... Gopher" §A1.1 and Raffel et al. 2020
+# "Exploring the Limits of Transfer Learning" (C4) §2.2).
+#
+# Every rule is deliberately expressed in INTEGER arithmetic (e.g.
+# mean word length in [3,10] <=> 3*n <= total_len <= 10*n), so the
+# DuckDB oracle matches bit-for-bit with no float discipline needed.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOP_SET: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_flags(col: Column | str) -> dict[str, Column]:
+    """Per-document Gopher rule booleans over whitespace words:
+
+      word_count_ok   50 <= n_words <= 100000
+      mean_word_len_ok  3 <= mean(len) <= 10      (3n <= total <= 10n)
+      symbol_ratio_ok   (#hash + #ellipsis) * 10 < n_words
+      alpha_ratio_ok    words containing [A-Za-z] * 5 >= n_words * 4
+      stop_hits_ok      >= 2 distinct words from the 8-word stop set
+
+    plus the C4 additions:
+
+      no_brace          no '{' (code marker)
+      no_lorem          no 'lorem ipsum' (lowercased)
+      min_sentences_ok  >= 3 sentences
+
+    (Gopher's line-level bullet/ellipsis ratios degenerate on this
+    corpus — text is single-line at every scale factor — and are
+    covered by the symbol-ratio rule; documented, not hidden.)
+    """
+    from reviews_quality_check_spark.functions.text import (
+        sentence_count,
+        whitespace_words,
+    )
+
+    c = F.col(col) if isinstance(col, str) else col
+    words = whitespace_words(c)
+    n = F.size(words)
+    total_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.size(F.split(c, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(c, r"\.\.\.", -1)) - 1
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    # count stop-set entries present (8 literals; words are already
+    # lowercased by norm_text) — this form mirrors 1:1 into SQL with no
+    # dependence on either engine's intersect dedup semantics
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOP_SET]),
+            lambda s: F.array_contains(words, s),
+        )
+    )
+    return {
+        "word_count_ok": (n >= 50) & (n <= 100000),
+        "mean_word_len_ok": (total_len >= 3 * n) & (total_len <= 10 * n) & (n > 0),
+        "symbol_ratio_ok": (n_hash + n_ellipsis) * 10 < n,
+        "alpha_ratio_ok": n_alpha * 5 >= n * 4,
+        "stop_hits_ok": stop_hits >= 2,
+        "no_brace": ~c.contains("{"),
+        "no_lorem": ~F.lower(c).contains("lorem ipsum"),
+        "min_sentences_ok": sentence_count(c) >= 3,
+    }
+
+
+def gopher_keep(col: Column | str) -> Column:
+    """Conjunction of all Gopher+C4 flags — the pipeline keep decision."""
+    flags = gopher_flags(col)
+    out = F.lit(True)
+    for v in flags.values():
+        out = out & v
+    return out

@@ -2376,6 +2376,70 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_oracle() -> str:
+    from reviews_quality_check_spark.functions.quality import GOPHER_STOP_SET
+    from reviews_quality_check_spark.sources.planted import sql_planted_gopher
+
+    stops = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOP_SET) + "]"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM {sql_planted_gopher()}
+    ),
+    w AS (SELECT doc_id, text, {_sql_words('text')} AS ws FROM base),
+    m AS (SELECT doc_id, text, len(ws) AS n,
+            coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS total_len,
+            len(string_split(text, '#')) - 1 AS n_hash,
+            len(string_split(text, '...')) - 1 AS n_ell,
+            len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+            len(list_filter({stops}, s -> list_contains(ws, s))) AS stop_hits,
+            {sql_sentence_count('text')} AS n_sent
+          FROM w),
+    f AS (SELECT doc_id,
+            n >= 50 AND n <= 100000 AS word_count_ok,
+            total_len >= 3 * n AND total_len <= 10 * n AND n > 0 AS mean_word_len_ok,
+            (n_hash + n_ell) * 10 < n AS symbol_ratio_ok,
+            n_alpha * 5 >= n * 4 AS alpha_ratio_ok,
+            stop_hits >= 2 AS stop_hits_ok,
+            NOT contains(text, '{{') AS no_brace,
+            NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+            n_sent >= 3 AS min_sentences_ok
+          FROM m)
+    SELECT *, word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+              AND alpha_ratio_ok AND stop_hits_ok AND no_brace
+              AND no_lorem AND min_sentences_ok AS keep
+    FROM f ORDER BY doc_id
+    """
+
+
+@_register("gopher_quality_flags", oracle=_gopher_oracle())
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 web-text quality-filter rules (public provenance: Rae
+    et al. 2021 §A1.1; Raffel et al. 2020 §2.2) as pure integer-
+    arithmetic Column expressions — the LLM-training-pipeline keep/drop
+    decision per document. Planted rows (-31..-33) exercise the FALSE
+    branch of the brace / lorem / symbol-ratio / mean-word-length rules
+    the synthetic corpus never trips. Engine addition beyond the
+    reference (its quality gate is Flesch+ratio based,
+    analyzers/review_analysis.py:520-541); all flags are
+    integer-compare expressions, so cross-engine parity is exact with
+    no float discipline."""
+    from reviews_quality_check_spark.functions.quality import gopher_flags
+    from reviews_quality_check_spark.sources.planted import planted_gopher_docs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.unionByName(planted_gopher_docs(spark))
+    flags = gopher_flags(F.col("text"))
+    keep = F.lit(True)
+    for v in flags.values():
+        keep = keep & v
+    return base.select(
+        "doc_id",
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
 @_register(
     "media_decode_features",
     oracle="""

@@ -234,3 +234,35 @@ def sql_planted_embeddings() -> str:
         f"({i}, {arr(v)}, {lb})" for i, v, lb in _planted_vecs()
     )
     return "(SELECT * FROM (VALUES " + vals + ") v(vec_id, embedding, label))"
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4 filter stress rows: the synthetic corpus never trips the
+# brace / lorem-ipsum / symbol-ratio / mean-word-length rules, so three
+# planted rows (ids -31..-33, disjoint from all other planted ranges)
+# exercise the FALSE branch of each flag.
+# ---------------------------------------------------------------------------
+
+_PLANTED_GOPHER = (
+    (-31, "{code block} with lorem ipsum inside and not much else here"),
+    (-32, "### heading ... with ... many ... ellipses ... and ### tags ###"),
+    (-33, ("supercalifragilisticexpialidocious " * 60).strip()),
+)
+
+
+def planted_gopher_docs(spark: SparkSession) -> DataFrame:
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).cast("long").alias("doc_id"),
+                F.lit(t).alias("text"),
+            )
+            for i, t in _PLANTED_GOPHER
+        ]
+    )
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
+
+
+def sql_planted_gopher() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _PLANTED_GOPHER)
+    return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, text))"

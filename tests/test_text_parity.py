@@ -120,3 +120,32 @@ def test_syllables_reference_cases():
     }
     for w, want in cases.items():
         assert O.count_syllables(w) == want, w
+
+
+def test_gopher_flags_hand_computed(spark):
+    """Gopher/C4 rule booleans vs hand-computed expectations (integer
+    arithmetic: 3n <= total <= 10n etc.)."""
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.functions.quality import gopher_flags
+
+    fifty = " ".join(["the", "cat", "sat", "on", "mats"] * 10)  # 50 words
+    rows = [
+        (1, fifty + ". Second sentence here. And a third one."),
+        (2, "short text"),                             # n=2 -> word_count False
+        (3, "{x} " + fifty),                           # brace False
+        (4, ("abcdefghijklmnop " * 50).strip()),       # mean len 16 -> False
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = gopher_flags(F.col("text"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *[v.alias(k) for k, v in flags.items()]).collect()
+    }
+    assert got[1]["word_count_ok"] and got[1]["stop_hits_ok"] is True
+    assert got[1]["min_sentences_ok"] and got[1]["no_brace"]
+    # mean word len of doc 1: words include '.'-attached tokens, all short
+    assert got[1]["mean_word_len_ok"]
+    assert got[2]["word_count_ok"] is False
+    assert got[3]["no_brace"] is False
+    assert got[4]["mean_word_len_ok"] is False and got[4]["word_count_ok"]
