@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "doc_topic_entropy",
     "topic_coherence_weighted",
     "gopher_quality_flags",
+    "pii_scrub",
+    "repetition_flags",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

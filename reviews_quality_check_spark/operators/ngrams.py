@@ -80,3 +80,60 @@ def ngram_frequencies(
         .orderBy(F.desc("cnt"), F.asc("ngram"))
     )
     return out.limit(top_k) if top_k else out
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition-removal statistics (Rae et al. 2021 §A1.1:
+    drop documents whose most-frequent 2-gram exceeds 18% of all
+    2-grams) — engine addition for the training-data pipeline.
+
+    Everything is INTEGER-valued so the cross-engine oracle is exact:
+    per doc, word counts (total/distinct), bigram counts
+    (total/distinct/max frequency), and the keep flag as
+    ``max_bigram_count * 100 <= 18 * n_bigrams`` (vacuously true for
+    docs with < 2 tokens). Scale shape: one explode → (doc, bigram)
+    count → per-doc aggregate; both shuffles key on the doc id.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    words = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+        )
+    )
+    big = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                    F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.max("c").cast("long").alias("max_bigram_count"),
+        )
+    )
+    out = words.join(big, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_distinct_bigrams", F.lit(0)).alias("n_distinct_bigrams"),
+        F.coalesce("max_bigram_count", F.lit(0)).alias("max_bigram_count"),
+    )
+    return out.withColumn(
+        "rep_ok",
+        F.col("max_bigram_count") * 100 <= 18 * F.col("n_bigrams"),
+    )

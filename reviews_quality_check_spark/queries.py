@@ -2376,6 +2376,95 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repetition_oracle() -> str:
+    from reviews_quality_check_spark.sources.planted import sql_planted_gopher
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM {sql_planted_gopher()}
+    ),
+    tok AS (SELECT doc_id, {sql_tokens('text')} AS t FROM base),
+    words AS (
+      SELECT doc_id, cast(sum(c) as bigint) AS n_words,
+             count(*) AS n_distinct_words
+      FROM (SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY 1, 2)
+      GROUP BY doc_id),
+    bigs AS (
+      SELECT doc_id, cast(sum(c) as bigint) AS n_bigrams,
+             count(*) AS n_distinct_bigrams,
+             cast(max(c) as bigint) AS max_bigram_count
+      FROM (SELECT doc_id, bg, count(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t)),
+                                i -> t[i] || ' ' || t[i + 1])) AS bg
+                  FROM tok) GROUP BY 1, 2)
+      GROUP BY doc_id)
+    SELECT w.doc_id, w.n_words, w.n_distinct_words,
+           coalesce(b.n_bigrams, 0) AS n_bigrams,
+           coalesce(b.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+           coalesce(b.max_bigram_count, 0) AS max_bigram_count,
+           coalesce(b.max_bigram_count, 0) * 100
+             <= 18 * coalesce(b.n_bigrams, 0) AS rep_ok
+    FROM words w LEFT JOIN bigs b USING (doc_id) ORDER BY w.doc_id
+    """
+
+
+@_register("repetition_flags", oracle=_repetition_oracle())
+def repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition removal (Rae et al. 2021 §A1.1: most-frequent
+    2-gram fraction ceiling 0.18) over documents ∪ the gopher planted
+    rows (the 60×-repeated-word row trips rep_ok=false). All outputs
+    are integers / integer-compare booleans — exact cross-engine
+    parity with no float discipline. Docs with zero tokens are
+    excluded (no word statistics to measure)."""
+    from reviews_quality_check_spark.operators.ngrams import repetition_stats
+    from reviews_quality_check_spark.sources.planted import planted_gopher_docs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.unionByName(planted_gopher_docs(spark))
+    return repetition_stats(base).orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    from reviews_quality_check_spark.functions.pii import sql_pii_exprs
+    from reviews_quality_check_spark.sources.planted import sql_planted_pii
+
+    counts, red = sql_pii_exprs("text")
+    count_cols = ", ".join(f"{expr} AS {name}" for name, expr in counts.items())
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM {sql_planted_pii()}
+    )
+    SELECT doc_id, {count_cols}, {red} AS redacted
+    FROM base ORDER BY doc_id
+    """
+
+
+@_register("pii_scrub", oracle=_pii_oracle())
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails / IPv4 / phone numbers) — the
+    standard training-corpus scrubbing stage, as pure regexp Column
+    expressions (patterns restricted to the Java-regex ∩ RE2 subset so
+    the DuckDB oracle redacts byte-identically). The corpus itself is
+    PII-free, so planted rows (-41..-44) exercise every pattern, the
+    ordered email→ip→phone chain, and a short digit run that must NOT
+    match. Engine addition beyond the reference."""
+    from reviews_quality_check_spark.functions.pii import pii_counts, redact_pii
+    from reviews_quality_check_spark.sources.planted import planted_pii_docs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.unionByName(planted_pii_docs(spark))
+    counts = pii_counts(F.col("text"))
+    return base.select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        redact_pii(F.col("text")).alias("redacted"),
+    ).orderBy("doc_id")
+
+
 def _gopher_oracle() -> str:
     from reviews_quality_check_spark.functions.quality import GOPHER_STOP_SET
     from reviews_quality_check_spark.sources.planted import sql_planted_gopher

@@ -266,3 +266,36 @@ def planted_gopher_docs(spark: SparkSession) -> DataFrame:
 def sql_planted_gopher() -> str:
     vals = ", ".join(f"({i}, '{t}')" for i, t in _PLANTED_GOPHER)
     return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, text))"
+
+
+# ---------------------------------------------------------------------------
+# PII stress rows (ids -41..-44): the synthetic corpus contains no
+# emails/phones/IPs, so these exercise every redaction branch,
+# including adjacency (email next to phone) and a non-PII digit run
+# that must NOT be redacted as a phone (too short).
+# ---------------------------------------------------------------------------
+
+_PLANTED_PII = (
+    (-41, "contact us at support@example.com or sales.team@sub.example.org today"),
+    (-42, "call +1 (555) 123-4567 or 555-867-5309 for details"),
+    (-43, "server at 192.168.0.1 and 10.0.0.255 responded; order 12345 shipped"),
+    (-44, "mixed: a@b.co then +44 20 7946 0958 at 8.8.8.8 end"),
+)
+
+
+def planted_pii_docs(spark: SparkSession) -> DataFrame:
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).cast("long").alias("doc_id"),
+                F.lit(t).alias("text"),
+            )
+            for i, t in _PLANTED_PII
+        ]
+    )
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
+
+
+def sql_planted_pii() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _PLANTED_PII)
+    return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, text))"

@@ -149,3 +149,45 @@ def test_gopher_flags_hand_computed(spark):
     assert got[2]["word_count_ok"] is False
     assert got[3]["no_brace"] is False
     assert got[4]["mean_word_len_ok"] is False and got[4]["word_count_ok"]
+
+
+def test_pii_redaction_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.functions.pii import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail a.b-c_d@x-y.co and 10.0.0.1 and +1 (555) 123-4567 now"),
+        (2, "no pii here, just order 12345 and v1.2.3 strings"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii_counts(F.col("text"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in counts.items()],
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 1)
+    assert got[1]["red"] == "mail <EMAIL> and <IP> and <PHONE> now"
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
+    assert got[2]["red"] == rows[1][1]  # untouched
+
+
+def test_repetition_stats_hand_computed(spark):
+    from reviews_quality_check_spark.operators.ngrams import repetition_stats
+
+    rows = [
+        (1, "buy now " * 10),          # bigrams dominated by 'buy now'
+        (2, "one two three four five six seven"),
+        (3, "solo"),                   # 1 token: no bigrams, vacuously ok
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    # doc 1: tokens = [buy now]*10 -> 19 bigrams, 'buy now' x10, 'now buy' x9
+    assert got[1]["n_words"] == 20 and got[1]["n_bigrams"] == 19
+    assert got[1]["max_bigram_count"] == 10 and got[1]["rep_ok"] is False
+    assert got[2]["n_bigrams"] == 6 and got[2]["max_bigram_count"] == 1
+    assert got[2]["rep_ok"] is True
+    assert got[3]["n_bigrams"] == 0 and got[3]["rep_ok"] is True
