@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "gopher_quality_flags",
     "pii_scrub",
     "repetition_flags",
+    "url_host_stats",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

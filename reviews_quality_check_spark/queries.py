@@ -2376,6 +2376,86 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_oracle() -> str:
+    from reviews_quality_check_spark.functions.url import sql_url_exprs
+
+    u = (
+        "'https://' || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)"
+        " || source || '.com/' || substr(md5(doc_id::varchar), 1, 8)"
+        " || '/p' || cast(doc_id % 7 as varchar) || '.html'"
+        " || (CASE WHEN doc_id % 3 = 0 THEN '?ref=' || lang ELSE '' END)"
+    )
+    e = sql_url_exprs("url")
+    return f"""
+    WITH u AS (SELECT doc_id, {u} AS url FROM documents),
+    p AS (SELECT doc_id, url, {e['host']} AS host, {e['path']} AS path,
+                 {e['query']} AS query,
+                 {e['registered_domain']} AS registered_domain,
+                 {e['path_depth']} AS path_depth
+          FROM u)
+    SELECT registered_domain, count(*) AS n_pages,
+           count(DISTINCT host) AS n_hosts,
+           count(DISTINCT path) AS n_paths,
+           cast(sum(path_depth) as bigint) AS total_depth,
+           cast(sum(CASE WHEN query != '' THEN 1 ELSE 0 END) as bigint) AS n_with_query
+    FROM p GROUP BY registered_domain ORDER BY registered_domain
+    """
+
+
+@_register("url_host_stats", oracle=_url_oracle())
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + per-registered-domain stats — the host-level view
+    a url-keyed crawl pipeline needs (host dedup candidates, crawl
+    budgeting). URLs are synthesized deterministically from
+    (doc_id, source, lang) — including www-prefixed hosts and optional
+    query strings — so both engines parse the same strings with the
+    same shared regex constants (functions/url.py). All outputs are
+    integer counts: exact parity."""
+    from reviews_quality_check_spark.functions.url import (
+        path_depth,
+        registered_domain,
+        url_host,
+        url_path,
+        url_query,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".com/"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+        F.lit("/p"), F.pmod("doc_id", F.lit(7)).cast("string"), F.lit(".html"),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0, F.concat(F.lit("?ref="), F.col("lang"))
+        ).otherwise(F.lit("")),
+    )
+    p = d.select(
+        url.alias("url")
+    ).select(
+        url_host("url").alias("host"),
+        url_path("url").alias("path"),
+        url_query("url").alias("query"),
+    ).select(
+        "host", "path", "query",
+        registered_domain(F.col("host")).alias("registered_domain"),
+        path_depth(F.col("path")).alias("path_depth"),
+    )
+    return (
+        p.groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("path").alias("n_paths"),
+            F.sum("path_depth").cast("long").alias("total_depth"),
+            F.sum(F.when(F.col("query") != "", 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_query"),
+        )
+        .orderBy("registered_domain")
+    )
+
+
 def _repetition_oracle() -> str:
     from reviews_quality_check_spark.sources.planted import sql_planted_gopher
 

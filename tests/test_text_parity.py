@@ -191,3 +191,38 @@ def test_repetition_stats_hand_computed(spark):
     assert got[2]["n_bigrams"] == 6 and got[2]["max_bigram_count"] == 1
     assert got[2]["rep_ok"] is True
     assert got[3]["n_bigrams"] == 0 and got[3]["rep_ok"] is True
+
+
+def test_url_parsing_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.functions.url import (
+        path_depth,
+        registered_domain,
+        url_host,
+        url_path,
+        url_query,
+    )
+
+    rows = [
+        (1, "https://www.news.example.co/a/b/c.html?x=1#frag"),
+        (2, "http://plain.org/"),
+        (3, "https://bare.io"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {
+        r["i"]: r.asDict()
+        for r in df.select(
+            "i",
+            url_host("url").alias("h"),
+            url_path("url").alias("p"),
+            url_query("url").alias("q"),
+            registered_domain(url_host("url")).alias("d"),
+            path_depth(url_path("url")).alias("n"),
+        ).collect()
+    }
+    assert got[1] == {"i": 1, "h": "www.news.example.co", "p": "/a/b/c.html",
+                      "q": "x=1", "d": "example.co", "n": 3}
+    assert got[2]["h"] == "plain.org" and got[2]["p"] == "/" and got[2]["n"] == 0
+    assert got[2]["d"] == "plain.org" and got[2]["q"] == ""
+    assert got[3]["h"] == "bare.io" and got[3]["p"] == "" and got[3]["n"] == 0
