@@ -521,3 +521,30 @@ def cv_coherence(
             dsum(F.col("score")) / F.count(F.lit(1)) + F.lit(1e-9), 4
         ).alias("c_v"),
     )
+
+
+def lda_topic_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    top_n: int = 4,
+    **lda_kwargs,
+) -> DataFrame:
+    """The full reference topic pipeline composed end-to-end (gensim
+    path topic.py:219-273): seeded distributed LDA fit → top-n terms
+    per topic → per-topic u_mass AND c_v coherence computed closed-form
+    over the fitted top words. Model-fit weights make this rows-only /
+    pytest territory (never registered as a driver query); the
+    deterministic halves are separately driver-certified
+    (queries.lda_dictionary_extremes etc.)."""
+    terms = topics_summary(df, text_col, id_col, k=k, top_n=top_n, **lda_kwargs)
+    top_words = terms.select("topic_id", "rank", F.col("term").alias("word"))
+    toks = _token_df(df, text_col, id_col)
+    um = umass_coherence(toks, top_words)
+    cv = cv_coherence(toks, top_words)
+    return (
+        terms.join(um.select("topic_id", "u_mass"), "topic_id", "left")
+        .join(cv.select("topic_id", "c_v"), "topic_id", "left")
+        .orderBy("topic_id", "rank")
+    )

@@ -210,3 +210,18 @@ def test_entropy_and_coherence_exprs_match_row_formulas(spark):
         ) / (k - 1)
         assert abs(got[doc_id][0] - e_ref) < 1e-12
         assert abs(got[doc_id][1] - c_ref) < 1e-12
+
+
+def test_lda_topic_report_end_to_end(docs):
+    """Full pipeline composition: seeded fit -> top terms -> u_mass +
+    c_v per fitted topic (the reference's report output shape)."""
+    from reviews_quality_check_spark.operators.topics import lda_topic_report
+
+    out = lda_topic_report(docs, k=3, top_n=4, max_iter=10, min_df=1.0, max_df=1e9)
+    rows = out.collect()
+    assert len(rows) == 12  # 3 topics x 4 ranks
+    for r in rows:
+        assert r["u_mass"] is not None and r["c_v"] is not None
+        # perfectly co-occurring topic words give log((D+1)/D) > 0 per
+        # pair — with D=10 docs that is log(11/10)=0.0953, the maximum
+        assert r["u_mass"] <= 0.1
