@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "repetition_flags",
     "url_host_stats",
+    "decontamination_hits",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

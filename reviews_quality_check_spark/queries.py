@@ -2351,6 +2351,99 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontam_spans() -> list[tuple[int, str]]:
+    """Benchmark 'test set' literals: span A sits in a region of the
+    planted long review shared verbatim by docs -1/-2 AND their
+    word-substituted near-dup -3; span B contains a substituted word
+    ('boomy'), so it must hit ONLY the variant doc -5; span C is novel
+    text that must hit nothing."""
+    from reviews_quality_check_spark.sources.planted import _LONG_A, _LONG_B2
+
+    wa = _LONG_A.split()
+    wb = _LONG_B2.split()
+    return [
+        (1, " ".join(wa[-14:-2])),
+        (2, " ".join(wb[-18:-6])),
+        (3, "a completely novel benchmark sentence that appears nowhere "
+            "in the training corpus at all today"),
+    ]
+
+
+def _decontam_oracle() -> str:
+    from reviews_quality_check_spark.sources.planted import sql_planted_documents
+
+    spans = ", ".join(f"({i}, '{t}')" for i, t in _decontam_spans())
+    sh = (
+        "list_distinct(list_transform(range(1, len(t) - 6),"
+        " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]"
+        " || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM {sql_planted_documents()}
+    ),
+    tests AS (SELECT * FROM (VALUES {spans}) v(test_id, text)),
+    csh AS (SELECT doc_id, unnest(sh) AS shingle FROM (
+              SELECT doc_id, {sh} AS sh FROM
+                (SELECT doc_id, {sql_tokens('text')} AS t FROM corpus))),
+    tsh AS (SELECT test_id, unnest(sh) AS shingle FROM (
+              SELECT test_id, {sh} AS sh FROM
+                (SELECT test_id, {sql_tokens('text')} AS t FROM tests)))
+    SELECT c.doc_id, t.test_id, count(*) AS n_shared
+    FROM csh c JOIN tsh t USING (shingle)
+    GROUP BY 1, 2 ORDER BY doc_id, test_id
+    """
+
+
+@_register("decontamination_hits", oracle=_decontam_oracle())
+def decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 §B / common LLM-pipeline op:
+    flag training documents sharing long word n-grams with an eval
+    set): distinct 8-gram shingles per side, equi-join on the shingle,
+    count shared shingles per (doc, test) pair. Scale shape: the test
+    set is tiny (broadcast side), the corpus side streams — no
+    cartesian, cost linear in corpus tokens. Test spans are literals
+    carved from the planted near-dup fixtures so exact hits, variant-
+    only hits, and zero-hit cases are all certified."""
+    from reviews_quality_check_spark.functions.text import word_ngrams
+    from reviews_quality_check_spark.sources.planted import planted_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(planted_documents(spark).select("doc_id", "text"))
+    spans = _decontam_spans()
+    tests = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("test_id"),
+                        F.lit(t).alias("text"),
+                    )
+                    for i, t in spans
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    def shingles(df, key):
+        return df.select(
+            key,
+            F.explode(
+                F.array_distinct(word_ngrams(TX.tokens("text"), 8))
+            ).alias("shingle"),
+        )
+
+    csh = shingles(corpus, "doc_id")
+    tsh = shingles(tests, "test_id")
+    return (
+        csh.join(F.broadcast(tsh), "shingle")
+        .groupBy("doc_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id", "test_id")
+    )
+
+
 def _url_oracle() -> str:
     from reviews_quality_check_spark.functions.url import sql_url_exprs
 

@@ -226,3 +226,22 @@ def test_url_parsing_hand_computed(spark):
     assert got[2]["h"] == "plain.org" and got[2]["p"] == "/" and got[2]["n"] == 0
     assert got[2]["d"] == "plain.org" and got[2]["q"] == ""
     assert got[3]["h"] == "bare.io" and got[3]["p"] == "" and got[3]["n"] == 0
+
+
+def test_decontamination_discrimination(spark):
+    """8-gram overlap vs the eval spans: exact-dup docs and the clean
+    region of the near-dup variant hit span 1; the substituted-word
+    span hits ONLY the variant doc; the novel span hits nothing."""
+    from reviews_quality_check_spark.queries import QUERIES
+
+    got = {
+        (r["doc_id"], r["test_id"]): r["n_shared"]
+        for r in QUERIES["decontamination_hits"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        if r["doc_id"] < 0
+    }
+    assert got[(-1, 1)] == got[(-2, 1)] == got[(-3, 1)] == 5
+    assert got[(-5, 2)] == 5
+    assert all(t != 3 for _, t in got)          # novel span never hits
+    assert (-4, 2) not in got                   # base B lacks 'boomy' span
