@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "repetition_flags",
     "url_host_stats",
     "decontamination_hits",
+    "split_assignments",
+    "sequence_packing",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

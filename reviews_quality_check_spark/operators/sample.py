@@ -123,3 +123,61 @@ def renumber_scalable(
         )
         .drop("__pid")
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Sequence packing for training-data assembly: stream documents in
+    ``order_col`` order and cut a new bin every time the cumulative
+    ``weight_col`` (e.g. token count) crosses ``budget`` —
+    ``bin_id = floor(exclusive_cumsum / budget)``, the streaming
+    first-fit-in-order packing an LLM data loader performs.
+
+    Scale shape is the zipWithIndex two-pass (same as
+    renumber_scalable, and shares its determinism requirements): pin a
+    range layout on ``order_col``, collect ONE weight-sum per partition
+    (n_partitions longs to the driver), then assign
+    ``offset[partition] + partition-local exclusive running sum`` — no
+    global single-reducer window anywhere. Integer weights keep the
+    arithmetic exact cross-engine. Requires unique ``order_col``
+    (same contract and reason as renumber).
+    """
+    from reviews_quality_check_spark.operators.pinning import pin
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = pin(
+        df.repartitionByRange(n, F.col(order_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        checkpoint_dir,
+    )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n):
+        offsets.append(acc)
+        acc += int(sums.get(pid, 0) or 0)
+    off_arr = F.array(*[F.lit(int(o)).cast("long") for o in offsets])
+    w = Window.partitionBy("__pid").orderBy(F.col(order_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    inclusive = F.sum(F.col(weight_col).cast("long")).over(w)
+    exclusive = (
+        F.element_at(off_arr, F.col("__pid") + 1)
+        + inclusive
+        - F.col(weight_col).cast("long")
+    )
+    return ranged.withColumn(
+        "bin_id", F.floor(exclusive / F.lit(int(budget))).cast("long")
+    ).drop("__pid")

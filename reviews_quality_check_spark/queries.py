@@ -2351,6 +2351,83 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, cast(len({sql_tokens('text')}) as bigint) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM t)
+    SELECT doc_id, n_tokens,
+           cast(floor(cast(excl as double) / 4096.0) as bigint) AS bin_id
+    FROM c ORDER BY doc_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-batch assembly): stream docs in
+    doc_id order, cut a new bin whenever the cumulative token count
+    crosses the 4096-token budget — bin_id = floor(exclusive_cumsum /
+    budget). Runs through operators.sample.pack_bins, the zipWithIndex-
+    shaped two-pass (range-pinned layout + per-partition weight offsets
+    — NO global single-reducer window; a pytest pins equality against
+    the global-window formulation). Engine addition for the
+    training-data pipeline."""
+    from reviews_quality_check_spark.operators.sample import pack_bins
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.tokens("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        pack_bins(d, "doc_id", "n_tokens", budget=4096, num_partitions=16)
+        .select("doc_id", "n_tokens", "bin_id")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "split_assignments",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang,
+                   ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+            FROM documents))
+    SELECT lang, split, count(*) AS n
+    FROM s GROUP BY 1, 2 ORDER BY lang, split
+    """,
+)
+def split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test splitting (90/5/5
+    by md5(doc_id) bucket — the standard reproducible-split idiom: the
+    assignment is a pure function of the id, so re-runs, backfills and
+    cluster-size changes cannot reshuffle examples across splits).
+    Output: per-(lang, split) counts. Engine addition for the
+    training-data pipeline; exact parity (integer hash buckets)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
 def _decontam_spans() -> list[tuple[int, str]]:
     """Benchmark 'test set' literals: span A sits in a region of the
     planted long review shared verbatim by docs -1/-2 AND their

@@ -349,3 +349,42 @@ def test_arrow_bucket_and_dot_bit_identical(spark):
         (dot(F.col("va"), F.col("vb")) == dot_pandas_udf()(F.col("va"), F.col("vb"))).alias("eq")
     ).filter(~F.col("eq"))
     assert diff.count() == 0
+
+
+def test_pack_bins_matches_global_window_and_budget_bound(spark):
+    """pack_bins (two-pass, range-pinned) must equal the global-window
+    exclusive-cumsum formulation exactly, and no bin's weight may
+    exceed budget + max single weight (items may straddle the cut)."""
+    from pyspark.sql.window import Window
+
+    from reviews_quality_check_spark.operators.sample import pack_bins
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.xxhash64("id") % 200 + 201).alias("w"),  # weights 1..400-ish
+        F.concat(F.lit("payload"), F.col("id")).alias("extra"),  # multi-col
+    )
+    got = {
+        r["k"]: r["bin_id"]
+        for r in pack_bins(df, "k", "w", budget=1000, num_partitions=7).collect()
+    }
+    w_excl = (
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expected = {
+        r["k"]: r["bin"]
+        for r in df.select(
+            "k",
+            F.floor(
+                F.coalesce(F.sum("w").over(w_excl), F.lit(0)) / F.lit(1000)
+            ).cast("long").alias("bin"),
+        ).collect()
+    }
+    assert got == expected
+    sums = (
+        pack_bins(df, "k", "w", budget=1000, num_partitions=7)
+        .groupBy("bin_id")
+        .agg(F.sum("w").alias("s"), F.max("w").alias("m"))
+        .collect()
+    )
+    assert all(r["s"] < 1000 + r["m"] for r in sums)
