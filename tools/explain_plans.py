@@ -110,6 +110,18 @@ EXPECT: dict[str, dict] = {
         "plan_not_contains": "CartesianProduct",
         "read_cols_max": 2,                      # lang + n_chars
     },
+    "split_assignments": {
+        # pure scan -> hash project -> grouped agg; partial agg map-side
+        "plan_not_contains": "CartesianProduct|Exchange SinglePartition",
+        "read_cols_max": 2,                      # doc_id + lang only
+        "max_exchanges": 2,                      # agg shuffle + final sort
+    },
+    "sequence_packing": {
+        # the whole point of the two-pass shape: the running sum never
+        # funnels through one reducer — no SinglePartition exchange
+        "plan_not_contains": "Exchange SinglePartition",
+        "read_cols_max": 2,                      # doc_id + text
+    },
 }
 
 
@@ -117,7 +129,9 @@ def analyze(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     simple = df._jdf.queryExecution().simpleString()
     info = {
-        "exchanges": len(re.findall(r"Exchange (?:hash|range|single)", plan)),
+        "exchanges": len(
+            re.findall(r"Exchange (?:hash|range|Single)", plan)
+        ),  # Single = SinglePartition (the one-reducer funnel)
         "broadcasts": len(re.findall(r"BroadcastExchange|BroadcastHashJoin", plan)),
         "wholestage": len(re.findall(r"\*\(\d+\)", plan)),
         "pushed": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
