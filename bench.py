@@ -25,6 +25,8 @@ import sys
 import time
 
 BENCH_QUERIES = [
+    "domain_cap_sample",
+    "eval_holdout_sample",
     "suite_verdicts",
     "pricing_summary",
     "revenue_by_nation",

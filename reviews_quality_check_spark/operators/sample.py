@@ -181,3 +181,51 @@ def pack_bins(
     return ranged.withColumn(
         "bin_id", F.floor(exclusive / F.lit(int(budget))).cast("long")
     ).drop("__pid")
+
+
+def capped_reservoir(
+    df: DataFrame,
+    group_col: str,
+    hash_col: str,
+    tiebreak_col: str,
+    cap: int,
+    salt_cells: int = 16,
+) -> DataFrame:
+    """Deterministic per-group cap sampling ("hash reservoir"): keep the
+    ``cap`` rows with the smallest ``(hash_col, tiebreak_col)`` per
+    group — the domain-balancing idiom a training pipeline uses to stop
+    one hot domain/language from dominating the mix. Selection is a pure
+    function of the content hash, so re-runs, backfills and cluster-size
+    changes keep the identical rows (same contract as split_assignments).
+
+    Scale shape: a single ``Window.partitionBy(group)`` ranks every row
+    of the hottest group in one task (windows get no AQE skew split), so
+    this runs TWO phases: (1) rank within ``(group, salt)`` where salt
+    is derived from the hash's tail bits — each cell holds ~1/salt_cells
+    of the group — and keep the per-cell top-``cap``; (2) re-rank the
+    <= cap*salt_cells survivors per group and keep the final top-``cap``.
+    Exact: every global top-``cap`` row is within the top-``cap`` of its
+    own cell. pytest pins equality against the single-window formulation
+    on a one-hot-group fixture across salt_cells and partition layouts.
+
+    Returns the kept rows with their final 1-based ``__rk`` rank.
+    ``hash_col`` must be a hex-string hash (salt reads its tail nibbles);
+    ``(hash_col, tiebreak_col)`` must totally order rows within a group.
+    """
+    salt = F.pmod(
+        F.conv(F.substring(F.col(hash_col), 25, 8), 16, 10).cast("long"),
+        F.lit(int(salt_cells)),
+    )
+    local = Window.partitionBy(F.col(group_col), salt).orderBy(
+        F.col(hash_col), F.col(tiebreak_col)
+    )
+    survivors = (
+        df.withColumn("__lrk", F.row_number().over(local))
+        .filter(F.col("__lrk") <= cap)
+        .drop("__lrk")
+    )
+    final = Window.partitionBy(group_col).orderBy(F.col(hash_col), F.col(tiebreak_col))
+    return (
+        survivors.withColumn("__rk", F.row_number().over(final).cast("long"))
+        .filter(F.col("__rk") <= cap)
+    )

@@ -2428,6 +2428,92 @@ def split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "domain_cap_sample",
+    oracle="""
+    WITH h AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('cap7:' || doc_id::varchar), doc_id) AS rk
+      FROM documents),
+    k AS (SELECT source, doc_id FROM h WHERE rk <= 30),
+    t AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source)
+    SELECT t.source, t.n_total,
+           cast(count(k.doc_id) as bigint) AS n_kept,
+           cast(sum(k.doc_id) as bigint) AS kept_id_sum
+    FROM t LEFT JOIN k ON k.source = t.source
+    GROUP BY t.source, t.n_total ORDER BY t.source
+    """,
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap sampling (training-mix balancing): keep at most 30
+    docs per ``source``, chosen as the 30 smallest md5('cap7:'||doc_id)
+    — a deterministic hash reservoir, so the retained set is identical
+    across re-runs, backfills and cluster sizes. Output certifies the
+    EXACT selected set in scalar form (per-source kept count + kept-id
+    sum, canonicalizer-safe). Runs through
+    operators.sample.capped_reservoir — the two-phase salted rank (per
+    (source, hash-salt) cell top-cap, then top-cap over <= cap*cells
+    survivors), so the hottest domain never funnels through one window
+    task. Engine addition for the training-data pipeline."""
+    from reviews_quality_check_spark.operators.sample import capped_reservoir
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.lit("cap7:"), F.col("doc_id").cast("string"))).alias("__h"),
+    )
+    kept = capped_reservoir(d, "source", "__h", "doc_id", cap=30, salt_cells=16)
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    per_kept = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+    )
+    return (
+        totals.join(F.broadcast(per_kept), "source", "left")
+        .select("source", "n_total", "n_kept", "kept_id_sum")
+        .orderBy("source")
+    )
+
+
+@_register(
+    "eval_holdout_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('eval11:' || doc_id::varchar), doc_id) AS sample_rank
+      FROM documents)
+    SELECT doc_id, cast(sample_rank as bigint) AS sample_rank
+    FROM r WHERE sample_rank <= 100 ORDER BY doc_id
+    """,
+)
+def eval_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic eval holdout: the 100 docs with the
+    smallest md5('eval11:'||doc_id) — "give me exactly K rows for the
+    eval set, the same K on any cluster". The distributed part is
+    orderBy(hash).limit(K), which Spark executes as TakeOrderedAndProject
+    (per-partition top-K, merge on the driver — no global sort, no
+    single-reducer exchange over the corpus). The rank is then assigned
+    by a global window over the ALREADY-REDUCED <= K rows (K is
+    driver-small by contract — that single-partition window sees 100
+    rows, never the corpus). Engine addition for the training-data
+    pipeline."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("eval11:"), F.col("doc_id").cast("string"))).alias("__h"),
+    )
+    top = d.orderBy("__h", "doc_id").limit(100)
+    w = Window.orderBy("__h", "doc_id")
+    return (
+        top.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "sample_rank")
+        .orderBy("doc_id")
+    )
+
+
 def _decontam_spans() -> list[tuple[int, str]]:
     """Benchmark 'test set' literals: span A sits in a region of the
     planted long review shared verbatim by docs -1/-2 AND their

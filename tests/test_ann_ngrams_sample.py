@@ -388,3 +388,58 @@ def test_pack_bins_matches_global_window_and_budget_bound(spark):
         .collect()
     )
     assert all(r["s"] < 1000 + r["m"] for r in sums)
+
+
+def test_capped_reservoir_matches_single_window_and_python(spark):
+    """capped_reservoir (two-phase salted rank) must select exactly the
+    cap smallest (hash, tiebreak) per group — identical to the naive
+    single-window formulation and to a Python ground truth — on a
+    one-hot-group fixture (one group holds 85% of rows), across
+    salt_cells and input partition layouts."""
+    from pyspark.sql.window import Window
+
+    from reviews_quality_check_spark.operators.sample import capped_reservoir
+
+    rows = []
+    for i in range(400):
+        g = "hot" if i % 20 < 17 else f"g{i % 3}"
+        rows.append((g, i, hashlib.md5(f"cap:{i}".encode()).hexdigest()))
+    df = spark.createDataFrame(rows, "grp string, rid long, h string")
+
+    expected = {}
+    by_g = {}
+    for g, rid, h in rows:
+        by_g.setdefault(g, []).append((h, rid))
+    for g, items in by_g.items():
+        for rk, (h, rid) in enumerate(sorted(items)[:7], start=1):
+            expected[(g, rid)] = rk
+
+    w = Window.partitionBy("grp").orderBy("h", "rid")
+    naive = {
+        (r["grp"], r["rid"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 7)
+        .collect()
+    }
+    assert naive == expected  # the fixture's ground truth is itself sane
+
+    for cells in (1, 4, 16):
+        for parts in (1, 5):
+            got = {
+                (r["grp"], r["rid"]): r["__rk"]
+                for r in capped_reservoir(
+                    df.repartition(parts), "grp", "h", "rid", cap=7, salt_cells=cells
+                ).collect()
+            }
+            assert got == expected, (cells, parts)
+
+
+def test_capped_reservoir_keeps_whole_group_under_cap(spark):
+    """Groups smaller than the cap are kept in full with dense ranks."""
+    from reviews_quality_check_spark.operators.sample import capped_reservoir
+
+    rows = [("a", i, hashlib.md5(str(i).encode()).hexdigest()) for i in range(3)]
+    df = spark.createDataFrame(rows, "grp string, rid long, h string")
+    got = capped_reservoir(df, "grp", "h", "rid", cap=10).collect()
+    assert len(got) == 3
+    assert sorted(r["__rk"] for r in got) == [1, 2, 3]

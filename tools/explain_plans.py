@@ -122,6 +122,20 @@ EXPECT: dict[str, dict] = {
         "plan_not_contains": "Exchange SinglePartition",
         "read_cols_max": 2,                      # doc_id + text
     },
+    "domain_cap_sample": {
+        # two-phase salted reservoir: the hot domain never hits one
+        # window task, and nothing funnels through a single reducer
+        "plan_not_contains": "CartesianProduct|Exchange SinglePartition",
+        "read_cols_max": 2,                      # doc_id + source
+        "max_exchanges": 4,
+    },
+    "eval_holdout_sample": {
+        # exact-size top-K: per-partition top-K merged on the driver —
+        # no global sort, no exchange at all over the corpus
+        "plan_contains": "TakeOrderedAndProject",
+        "plan_not_contains": "Exchange SinglePartition",
+        "read_cols_max": 1,                      # doc_id only
+    },
 }
 
 
