@@ -27,6 +27,7 @@ import time
 BENCH_QUERIES = [
     "domain_cap_sample",
     "eval_holdout_sample",
+    "packed_examples",
     "suite_verdicts",
     "pricing_summary",
     "revenue_by_nation",

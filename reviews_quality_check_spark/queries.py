@@ -2477,6 +2477,60 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "packed_examples",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, cast(len({sql_tokens('text')}) as bigint) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, text, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM t),
+    b AS (
+      SELECT doc_id, text,
+             cast(floor(cast(excl as double) / 4096.0) as bigint) AS bin_id
+      FROM c)
+    SELECT bin_id,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(len(text)) as bigint) AS n_chars,
+           md5(string_agg(text, chr(10) ORDER BY doc_id)) AS packed_md5
+    FROM b GROUP BY bin_id ORDER BY bin_id
+    """,
+)
+def packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the packed training examples: for each
+    sequence_packing bin, concatenate member texts in doc_id order with
+    a newline separator — the step that turns bin assignments into the
+    byte-exact context-window payloads a data loader emits. The packed
+    bytes are certified by md5 (scalar, canonicalizer-safe) alongside
+    doc and char counts. Per-bin work is bounded by the token budget
+    (4096), so the ordered in-group sort
+    (array_sort(collect_list(struct))) touches <= budget tokens per
+    group — memory-safe at any corpus size. Engine addition for the
+    training-data pipeline; composes operators.sample.pack_bins."""
+    from reviews_quality_check_spark.operators.sample import pack_bins
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(TX.tokens("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_bins(d, "doc_id", "n_tokens", budget=4096, num_partitions=16)
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s.text,
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.md5(F.array_join(ordered_texts, "\n")).alias("packed_md5"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+@_register(
     "eval_holdout_sample",
     oracle="""
     WITH r AS (

@@ -443,3 +443,40 @@ def test_capped_reservoir_keeps_whole_group_under_cap(spark):
     got = capped_reservoir(df, "grp", "h", "rid", cap=10).collect()
     assert len(got) == 3
     assert sorted(r["__rk"] for r in got) == [1, 2, 3]
+
+
+def test_packed_example_bytes_match_python(spark):
+    """The packed payload (newline-joined member texts in order) must be
+    byte-identical to a pure-Python packing of the same bin assignment."""
+    from reviews_quality_check_spark.operators.sample import pack_bins
+
+    rows = [(i, f"doc {i} body " * (i % 4 + 1)) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, txt string").select(
+        "k", "txt", F.size(F.split("txt", " ")).cast("long").alias("w")
+    )
+    packed = pack_bins(df, "k", "w", budget=20, num_partitions=4)
+    got = {
+        r["bin_id"]: r["h"]
+        for r in packed.groupBy("bin_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "txt"))),
+                        lambda s: s.txt,
+                    ),
+                    "\n",
+                )
+            ).alias("h")
+        )
+        .collect()
+    }
+    bins = {r["k"]: r["bin_id"] for r in packed.collect()}
+    expected_members: dict = {}
+    for k, txt in rows:
+        expected_members.setdefault(bins[k], []).append((k, txt))
+    expected = {
+        b: hashlib.md5("\n".join(t for _, t in sorted(m)).encode()).hexdigest()
+        for b, m in expected_members.items()
+    }
+    assert got == expected

@@ -129,6 +129,12 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,                      # doc_id + source
         "max_exchanges": 4,
     },
+    "packed_examples": {
+        # per-bin ordered concat after the two-pass bin assignment:
+        # bounded by the token budget per group, no one-reducer funnel
+        "plan_not_contains": "CartesianProduct|Exchange SinglePartition",
+        "max_exchanges": 3,
+    },
     "eval_holdout_sample": {
         # exact-size top-K: per-partition top-K merged on the driver —
         # no global sort, no exchange at all over the corpus
