@@ -209,20 +209,25 @@ def capped_reservoir(
     on a one-hot-group fixture across salt_cells and partition layouts.
 
     Returns the kept rows with their final 1-based ``__rk`` rank.
-    ``hash_col`` must be a hex-string hash (salt reads its tail nibbles);
     ``(hash_col, tiebreak_col)`` must totally order rows within a group.
+    The salt cell is ``xxhash64(hash_col) % salt_cells`` — which rows
+    share a cell never affects the final selection (cells only bound
+    phase-1 task size), so the salt only needs to be deterministic and
+    cheap. It is materialized as a column BEFORE the window: handing
+    Window.partitionBy a compound expression re-evaluates it in every
+    operator that references the partition spec (measured 4x slower at
+    20M rows with a conv(substring(md5)) salt; tools/bench_skew.py).
     """
-    salt = F.pmod(
-        F.conv(F.substring(F.col(hash_col), 25, 8), 16, 10).cast("long"),
-        F.lit(int(salt_cells)),
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(hash_col)), F.lit(int(salt_cells)))
     )
-    local = Window.partitionBy(F.col(group_col), salt).orderBy(
+    local = Window.partitionBy(F.col(group_col), F.col("__salt")).orderBy(
         F.col(hash_col), F.col(tiebreak_col)
     )
     survivors = (
-        df.withColumn("__lrk", F.row_number().over(local))
+        salted.withColumn("__lrk", F.row_number().over(local))
         .filter(F.col("__lrk") <= cap)
-        .drop("__lrk")
+        .drop("__lrk", "__salt")
     )
     final = Window.partitionBy(group_col).orderBy(F.col(hash_col), F.col(tiebreak_col))
     return (

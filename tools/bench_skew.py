@@ -70,11 +70,14 @@ def main() -> None:
         return round(best, 3)
 
     timings = {}
+    shapes = set(
+        os.environ.get("SKEW_SHAPES", "uniqueness,digest,reservoir").split(",")
+    )
 
     # --- shape 1: uniqueness / dup-count ---------------------------------
-    from reviews_quality_check_spark.plans import checks as C
+    from reviews_quality_check_spark.plans import checks as C  # noqa: E402
 
-    salted_unique = C.uniqueness("key").plan
+    salted_unique = C.uniqueness("key").plan if "uniqueness" in shapes else None
 
     def unsalted_unique():
         return (
@@ -88,12 +91,13 @@ def main() -> None:
             )
         )
 
-    timings["uniqueness_salted"] = timed(
-        "uniqueness salted two-phase", lambda: salted_unique(df, "partition_id")
-    )
-    timings["uniqueness_unsalted"] = timed(
-        "uniqueness direct groupBy", unsalted_unique
-    )
+    if "uniqueness" in shapes:
+        timings["uniqueness_salted"] = timed(
+            "uniqueness salted two-phase", lambda: salted_unique(df, "partition_id")
+        )
+        timings["uniqueness_unsalted"] = timed(
+            "uniqueness direct groupBy", unsalted_unique
+        )
 
     # --- shape 2: per-key quantile digest (Python sketch) -----------------
     from reviews_quality_check_spark.operators.column_stats import (
@@ -101,10 +105,11 @@ def main() -> None:
         quantile_digest,
     )
 
-    timings["digest_routed"] = timed(
-        "digest routed (hot->salted sketch, small->JVM exprs)",
-        lambda: quantile_digest(df, "v", "key", k=64),
-    )
+    if "digest" in shapes:
+        timings["digest_routed"] = timed(
+            "digest routed (hot->salted sketch, small->JVM exprs)",
+            lambda: quantile_digest(df, "v", "key", k=64),
+        )
 
     def unsalted_digest():
         def one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -125,20 +130,61 @@ def main() -> None:
             one, schema="group_key string, v double, w double"
         )
 
-    timings["digest_unsalted"] = timed("digest unsalted single-stage", unsalted_digest)
+    if "digest" in shapes:
+        timings["digest_unsalted"] = timed(
+            "digest unsalted single-stage", unsalted_digest
+        )
+
+    # --- shape 3: per-group cap reservoir (top-cap smallest hashes) -------
+    # The domain-balancing sampler: windows get NO map-side partial
+    # aggregation and NO AQE skew split, so the naive single-window ranks
+    # the hot group's 90% of all rows inside ONE task. The two-phase
+    # salted rank (operators/sample.capped_reservoir) caps each
+    # (group, salt) cell first.
+    from pyspark.sql.window import Window
+
+    from reviews_quality_check_spark.operators.sample import capped_reservoir
+
+    if "reservoir" in shapes:
+        cap = 1000
+        dfr = df.select(
+            "key",
+            F.col("v").alias("rid"),
+            F.md5(F.concat(F.lit("s:"), F.col("v").cast("string"))).alias("h"),
+        ).localCheckpoint()
+
+        def naive_reservoir():
+            w = Window.partitionBy("key").orderBy("h", "rid")
+            return dfr.withColumn("rk", F.row_number().over(w)).filter(
+                F.col("rk") <= cap
+            )
+
+        timings["reservoir_two_phase"] = timed(
+            "cap reservoir two-phase salted",
+            lambda: capped_reservoir(dfr, "key", "h", "rid", cap=cap, salt_cells=32),
+        )
+        timings["reservoir_single_window"] = timed(
+            "cap reservoir single window", naive_reservoir
+        )
 
     out = {
         "rows": n_rows,
         "hot_frac": 0.9,
         "cores": n_cores,
         "timings": timings,
-        "uniqueness_speedup_salted": round(
-            timings["uniqueness_unsalted"] / timings["uniqueness_salted"], 2
-        ),
-        "digest_speedup_routed": round(
-            timings["digest_unsalted"] / timings["digest_routed"], 2
-        ),
     }
+    if "uniqueness" in shapes:
+        out["uniqueness_speedup_salted"] = round(
+            timings["uniqueness_unsalted"] / timings["uniqueness_salted"], 2
+        )
+    if "digest" in shapes:
+        out["digest_speedup_routed"] = round(
+            timings["digest_unsalted"] / timings["digest_routed"], 2
+        )
+    if "reservoir" in shapes:
+        out["reservoir_speedup_two_phase"] = round(
+            timings["reservoir_single_window"] / timings["reservoir_two_phase"], 2
+        )
     spark.stop()
     print(json.dumps(out))
 
