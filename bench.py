@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "domain_cap_sample",
     "eval_holdout_sample",
     "packed_examples",
+    "repeated_lines",
     "suite_verdicts",
     "pricing_summary",
     "revenue_by_nation",

@@ -30,6 +30,7 @@ from reviews_quality_check_spark.functions import text as TX
 from reviews_quality_check_spark.sources.planted import (
     sql_planted_documents as _SQL_PLANTED_DOCS,
     sql_planted_embeddings as _SQL_PLANTED_EMB,
+    sql_planted_lines as _SQL_PLANTED_LINES,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2473,6 +2474,91 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.join(F.broadcast(per_kept), "source", "left")
         .select("source", "n_total", "n_kept", "kept_id_sum")
         .orderBy("source")
+    )
+
+
+@_register(
+    "repeated_lines",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM {_SQL_PLANTED_LINES()}),
+    s AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+               x -> trim(x)), x -> regexp_matches(x, '\\S')) AS ls
+      FROM u),
+    l AS (
+      SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+      FROM s),
+    f AS (
+      SELECT md5(lower(line)) AS fp, count(*) AS freq
+      FROM l GROUP BY 1),
+    j AS (
+      SELECT l.doc_id, l.pos, l.line, f.freq
+      FROM l JOIN f ON md5(lower(l.line)) = f.fp)
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_lines,
+           cast(count(*) FILTER (WHERE freq >= 3) as bigint) AS n_repeated,
+           md5(coalesce(
+             string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE freq < 3),
+             '')) AS cleaned_md5
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line deduplication (Raffel et al. 2020
+    §2.2: discard any line occurring three or more times in the
+    corpus): split docs into lines (the sentence splitter — trimmed,
+    non-blank), fingerprint each normalized line, count corpus-wide
+    occurrences, and drop lines with frequency >= 3. Output per doc:
+    line counts and the md5 of the cleaned text (kept lines in original
+    order, newline-joined) — certifies the exact removal byte-for-byte
+    while staying scalar for the canonicalizer. Scale shape: explode ->
+    count on the line fingerprint (combine-effective, partial agg
+    map-side) -> equi shuffle join back -> per-doc agg; no window over
+    the corpus, no broadcast of the (corpus-sized) frequency table.
+    The corpus is deliberately scanned twice (the frequency branch
+    prunes to the text column only): a Window.partitionBy(fp) count
+    would be one scan but funnels every copy of a hot boilerplate line
+    into ONE task with no AQE skew relief, while the sort-merge join
+    back IS AQE-skew-splittable; and pinning the exploded lines to
+    share one scan would materialize a corpus-sized intermediate —
+    re-reading pruned columnar storage is the cheaper side of that
+    trade at target scale.
+    Engine addition for the training-data pipeline. The synthetic
+    corpus has no cross-doc repeated sentences, so planted rows
+    (sources/planted.py ids -51..-56) are unioned in on BOTH engines:
+    a 4x boilerplate line at head/middle/tail positions, a doc that is
+    ONLY boilerplate (empty cleaned text), and an exactly-twice line
+    that must be kept."""
+    from reviews_quality_check_spark.sources.planted import planted_line_docs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(planted_line_docs(spark))
+        .select("doc_id", TX.sentences("text").alias("ls"))
+    )
+    lines = d.select(
+        "doc_id", F.posexplode("ls").alias("pos", "line")
+    ).withColumn("fp", F.md5(F.lower("line")))
+    freq = lines.groupBy("fp").agg(F.count(F.lit(1)).alias("freq"))
+    j = lines.join(freq, "fp")
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(F.when(F.col("freq") < 3, F.struct("pos", "line")))
+        ),
+        lambda s: s.line,
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col("freq") >= 3, F.lit(1))).alias("n_repeated"),
+            F.md5(F.array_join(kept_sorted, "\n")).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -299,3 +299,44 @@ def planted_pii_docs(spark: SparkSession) -> DataFrame:
 def sql_planted_pii() -> str:
     vals = ", ".join(f"({i}, '{t}')" for i, t in _PLANTED_PII)
     return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, text))"
+
+
+# ---------------------------------------------------------------------------
+# Repeated-line stress rows (ids -51..-56): the synthetic corpus has no
+# cross-document repeated SENTENCES (verified: repeated_lines over the
+# bare table flags 0 at every sf), so these plant every branch of the
+# C4 line-dedup rule: a boilerplate line occurring 4x (>= 3 -> dropped)
+# at head, middle, and tail positions of otherwise-unique docs; one doc
+# that is ONLY the boilerplate line (cleaned text becomes empty); and a
+# line occurring exactly twice (< 3 -> must be KEPT).
+# ---------------------------------------------------------------------------
+
+_BOILER_LINE = "planted boilerplate footer line repeated across pages"
+_TWICE_LINE = "planted twice-only line appears here"
+
+_PLANTED_LINES = (
+    (-51, f"unique planted intro one. {_BOILER_LINE}. unique planted tail one."),
+    (-52, f"{_BOILER_LINE}. unique planted middle two! another unique tail two."),
+    (-53, f"unique planted intro three? {_BOILER_LINE}."),
+    (-54, f"{_BOILER_LINE}."),
+    (-55, f"{_TWICE_LINE}. unique planted tail five."),
+    (-56, f"{_TWICE_LINE}. unique planted tail six."),
+)
+
+
+def planted_line_docs(spark: SparkSession) -> DataFrame:
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).cast("long").alias("doc_id"),
+                F.lit(t).alias("text"),
+            )
+            for i, t in _PLANTED_LINES
+        ]
+    )
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
+
+
+def sql_planted_lines() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _PLANTED_LINES)
+    return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, text))"

@@ -129,6 +129,13 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,                      # doc_id + source
         "max_exchanges": 4,
     },
+    "repeated_lines": {
+        # explode -> fingerprint count -> skew-splittable equi join back
+        # -> per-doc agg; two deliberate pruned scans (see docstring)
+        "plan_not_contains": "CartesianProduct|Exchange SinglePartition",
+        "max_exchanges": 3,
+        "read_cols_max": 2,                      # doc_id + text
+    },
     "packed_examples": {
         # per-bin ordered concat after the two-pass bin assignment:
         # bounded by the token budget per group, no one-reducer funnel
