@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "eval_holdout_sample",
     "packed_examples",
     "repeated_lines",
+    "token_budget_sample",
     "suite_verdicts",
     "pricing_summary",
     "revenue_by_nation",

@@ -234,3 +234,68 @@ def capped_reservoir(
         survivors.withColumn("__rk", F.row_number().over(final).cast("long"))
         .filter(F.col("__rk") <= cap)
     )
+
+
+def budget_reservoir(
+    df: DataFrame,
+    group_col: str,
+    hash_col: str,
+    tiebreak_col: str,
+    weight_col: str,
+    budget: int,
+    salt_cells: int = 16,
+) -> DataFrame:
+    """Token-budgeted per-group sampling: stream each group's rows in
+    ``(hash_col, tiebreak_col)`` order and keep rows while the running
+    ``weight_col`` sum (inclusive) stays <= ``budget`` — the
+    "give every domain at most B tokens" mixing rule, deterministic
+    under re-runs/backfills/cluster sizes like capped_reservoir.
+
+    Two-phase like capped_reservoir, with a prefix-sum pruning
+    argument instead of a rank one. Phase 1 keeps rows whose EXCLUSIVE
+    cell cumsum is <= budget — each cell's budget-satisfying prefix
+    PLUS its first overflowing row. The exclusive filter is what makes
+    the result exact, not an optimization: (a) every globally-kept row
+    survives (cell-exclusive <= group-exclusive < group-cumsum <=
+    budget); (b) the group's FIRST blocked row b also survives (its
+    group-exclusive cumsum is <= budget, hence so is its cell
+    exclusive) — and because every group row ordered before b is kept
+    and survives, b's phase-2 cumsum over survivors equals its TRUE
+    group cumsum (> budget), so phase 2 excludes b and, by
+    monotonicity, every survivor after it. Dropping a row on the
+    inclusive filter instead would lose its weight from the exact
+    recomputation and admit rows past the true block point (the
+    heavy-row case the pytest pins). Survivors per cell are bounded by
+    budget/min_weight + 1 rows when weights >= 1. pytest pins equality
+    against the single-window formulation on a one-hot-group fixture
+    including a suffix-blocking heavy row.
+
+    Returns kept rows plus their exact inclusive ``__cum`` group cumsum.
+    Weights must be non-negative integers (exact cross-engine math).
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(hash_col)), F.lit(int(salt_cells)))
+    )
+    local = (
+        Window.partitionBy(F.col(group_col), F.col("__salt"))
+        .orderBy(F.col(hash_col), F.col(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    survivors = (
+        salted.withColumn(
+            "__lcum", F.sum(F.col(weight_col).cast("long")).over(local)
+        )
+        .filter(F.col("__lcum") - F.col(weight_col).cast("long") <= budget)
+        .drop("__lcum", "__salt")
+    )
+    final = (
+        Window.partitionBy(F.col(group_col))
+        .orderBy(F.col(hash_col), F.col(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        survivors.withColumn(
+            "__cum", F.sum(F.col(weight_col).cast("long")).over(final)
+        )
+        .filter(F.col("__cum") <= budget)
+    )

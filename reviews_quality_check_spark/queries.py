@@ -2478,6 +2478,71 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             cast(len({sql_tokens('text')}) as bigint) AS w,
+             md5('tb13:' || doc_id::varchar) AS h
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, w,
+             sum(w) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT source,
+           cast(count(*) as bigint) AS n_total,
+           cast(count(*) FILTER (WHERE cum <= 800) as bigint) AS n_kept,
+           cast(coalesce(sum(doc_id) FILTER (WHERE cum <= 800), 0) as bigint)
+             AS kept_id_sum,
+           cast(coalesce(sum(w) FILTER (WHERE cum <= 800), 0) as bigint)
+             AS kept_token_sum
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted domain mixing: stream each source's docs in
+    content-hash order and keep them while the running token count
+    stays <= 800 — "give every domain at most B tokens", the
+    weight-aware sibling of domain_cap_sample. Strict prefix semantics
+    (a doc that overflows the budget blocks everything after it in
+    hash order — deterministic, not knapsack). Runs through
+    operators.sample.budget_reservoir: the two-phase salted shape with
+    a prefix-sum pruning argument (a row's (group, salt)-cell cumsum
+    lower-bounds its true group cumsum, so cell-overflowing rows are
+    globally safe to drop before the exact phase-2 cumsum). Output
+    certifies the exact kept set in scalar form (per-source kept
+    count + id sum + token sum). Engine addition for the training-data
+    pipeline."""
+    from reviews_quality_check_spark.operators.sample import budget_reservoir
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(TX.tokens("text")).cast("long").alias("w"),
+        F.md5(F.concat(F.lit("tb13:"), F.col("doc_id").cast("string"))).alias("__h"),
+    )
+    kept = budget_reservoir(d, "source", "__h", "doc_id", "w", budget=800)
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    per_kept = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+        F.sum("w").alias("kept_token_sum"),
+    )
+    return (
+        totals.join(F.broadcast(per_kept), "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).cast("long").alias("kept_id_sum"),
+            F.coalesce("kept_token_sum", F.lit(0)).cast("long").alias("kept_token_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
     "repeated_lines",
     oracle=f"""
     WITH u AS (

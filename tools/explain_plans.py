@@ -129,6 +129,12 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,                      # doc_id + source
         "max_exchanges": 4,
     },
+    "token_budget_sample": {
+        # two-phase prefix-sum reservoir: no one-reducer funnel
+        "plan_not_contains": "CartesianProduct|Exchange SinglePartition",
+        "max_exchanges": 4,
+        "read_cols_max": 3,                      # doc_id + text + source
+    },
     "repeated_lines": {
         # explode -> fingerprint count -> skew-splittable equi join back
         # -> per-doc agg; two deliberate pruned scans (see docstring)
