@@ -201,8 +201,9 @@ def capped_reservoir(
     Scale shape: a single ``Window.partitionBy(group)`` ranks every row
     of the hottest group in one task (windows get no AQE skew split), so
     this runs TWO phases: (1) rank within ``(group, salt)`` where salt
-    is derived from the hash's tail bits — each cell holds ~1/salt_cells
-    of the group — and keep the per-cell top-``cap``; (2) re-rank the
+    is ``xxhash64(hash_col) % salt_cells`` — each cell holds
+    ~1/salt_cells of the group — and keep the per-cell top-``cap``;
+    (2) re-rank the
     <= cap*salt_cells survivors per group and keep the final top-``cap``.
     Exact: every global top-``cap`` row is within the top-``cap`` of its
     own cell. pytest pins equality against the single-window formulation
