@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "packed_examples",
     "repeated_lines",
     "token_budget_sample",
+    "source_upsample",
     "suite_verdicts",
     "pricing_summary",
     "revenue_by_nation",

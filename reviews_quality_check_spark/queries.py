@@ -31,6 +31,7 @@ from reviews_quality_check_spark.sources.planted import (
     sql_planted_documents as _SQL_PLANTED_DOCS,
     sql_planted_embeddings as _SQL_PLANTED_EMB,
     sql_planted_lines as _SQL_PLANTED_LINES,
+    sql_planted_upsample as _SQL_PLANTED_UPSAMPLE,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2473,6 +2474,92 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         totals.join(F.broadcast(per_kept), "source", "left")
         .select("source", "n_total", "n_kept", "kept_id_sum")
+        .orderBy("source")
+    )
+
+
+@_register(
+    "source_upsample",
+    oracle=f"""
+    WITH u AS (
+      SELECT source, doc_id FROM documents
+      UNION ALL SELECT source, doc_id FROM {_SQL_PLANTED_UPSAMPLE()}),
+    c AS (SELECT source, count(*) AS n FROM u GROUP BY source),
+    m AS (SELECT max(n) AS mx FROM c),
+    k AS (
+      SELECT source, n,
+             least(4, (mx + n - 1) // n) AS rep
+      FROM c, m),
+    e AS (
+      SELECT d.source, d.doc_id,
+             unnest(generate_series(1, k.rep)) AS copy
+      FROM u d JOIN k USING (source))
+    SELECT k.source,
+           cast(k.n as bigint) AS n_docs,
+           cast(k.rep as bigint) AS rep,
+           cast(count(*) as bigint) AS n_rows_out,
+           cast(sum(e.doc_id * e.copy) as bigint) AS copy_weighted_sum
+    FROM e JOIN k USING (source)
+    GROUP BY k.source, k.n, k.rep ORDER BY k.source
+    """,
+)
+def source_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain upsampling (the replication half of
+    mixture balancing, XLM-R-style upweighting of low-resource
+    domains): each source's docs are replicated rep = min(4,
+    ceil(max_source_count / n_source)) times — pure INTEGER arithmetic
+    ((mx + n - 1) div n), so the factor is bit-identical cross-engine
+    and stable across cluster sizes. Replication is
+    explode(sequence(1, rep)) — linear map-side work, no shuffle added
+    by the copies. The per-source counts and their max are
+    combine-effective aggregates over ~|sources| rows (the scalar max
+    reduces pre-aggregated partials — the single-reducer step sees one
+    row per partition, not the corpus), then broadcast back. Output
+    certifies the exact replicated multiset per source
+    (copy-weighted id sum). Engine addition for the training-data
+    pipeline; downsampling duals: domain_cap_sample /
+    token_budget_sample. The synthetic corpus has near-equal source
+    counts (rep would be 1 everywhere), so planted imbalanced sources
+    (sources/planted.py ids -61..-76) are unioned in on BOTH engines:
+    1-doc and 2-doc sources hit the least(4, .) cap, a 13-doc source
+    lands at rep=2 at sf0.001/0.01."""
+    from reviews_quality_check_spark.sources.planted import planted_upsample_docs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("source", "doc_id")
+        .unionByName(planted_upsample_docs(spark).select("source", "doc_id"))
+    )
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mx = c.agg(F.max("n").alias("mx"))
+    k = (
+        c.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "rep",
+            F.least(F.lit(4), F.expr("div(mx + n - 1, n)")).cast("long"),
+        )
+        .select("source", "n", "rep")
+    )
+    e = d.join(F.broadcast(k), "source").select(
+        "source",
+        "doc_id",
+        "n",
+        "rep",
+        F.explode(F.sequence(F.lit(1), F.col("rep"))).alias("copy"),
+    )
+    return (
+        e.groupBy("source", "n", "rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_out"),
+            F.sum(F.col("doc_id") * F.col("copy")).alias("copy_weighted_sum"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "rep",
+            "n_rows_out",
+            "copy_weighted_sum",
+        )
         .orderBy("source")
     )
 

@@ -340,3 +340,40 @@ def planted_line_docs(spark: SparkSession) -> DataFrame:
 def sql_planted_lines() -> str:
     vals = ", ".join(f"({i}, '{t}')" for i, t in _PLANTED_LINES)
     return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, text))"
+
+
+# ---------------------------------------------------------------------------
+# Upsample stress rows (ids -61..-76): the synthetic corpus has near-
+# equal per-source counts, so source_upsample's repeat factor is 1
+# everywhere on the bare table (the replication branch never fires).
+# Three planted sources exercise the live branches: a 1-doc and a 2-doc
+# source (rep hits the least(4, ...) CAP), and a 13-doc source whose
+# rep lands strictly between 1 and the cap at sf0.001/0.01
+# ((25 + 12) // 13 = 2) and at the cap at sf0.1.
+# ---------------------------------------------------------------------------
+
+_PLANTED_UPSAMPLE = tuple(
+    [(-61, "planted rare source a doc one", "planted_rare_a"),
+     (-62, "planted rare source a doc two", "planted_rare_a"),
+     (-63, "planted rare source b only doc", "planted_rare_b")]
+    + [(-64 - j, f"planted mid source doc {j}", "planted_mid") for j in range(13)]
+)
+
+
+def planted_upsample_docs(spark: SparkSession) -> DataFrame:
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).cast("long").alias("doc_id"),
+                F.lit(t).alias("text"),
+                F.lit(s).alias("source"),
+            )
+            for i, t, s in _PLANTED_UPSAMPLE
+        ]
+    )
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
+
+
+def sql_planted_upsample() -> str:
+    vals = ", ".join(f"({i}, '{t}', '{s}')" for i, t, s in _PLANTED_UPSAMPLE)
+    return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, text, source))"

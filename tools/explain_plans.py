@@ -129,6 +129,15 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,                      # doc_id + source
         "max_exchanges": 4,
     },
+    "source_upsample": {
+        # the lone SinglePartition exchange + 1-row BNLJ here belong to
+        # the scalar max(n) over pre-aggregated ~|sources| rows (one row
+        # per map partition reaches the single reducer), never the
+        # corpus; the rep table then joins back broadcast
+        "plan_contains": "BroadcastHashJoin",
+        "read_cols_max": 2,                      # doc_id + source
+        "max_exchanges": 5,
+    },
     "token_budget_sample": {
         # two-phase prefix-sum reservoir: no one-reducer funnel
         "plan_not_contains": "CartesianProduct|Exchange SinglePartition",
