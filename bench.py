@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "repeated_lines",
     "token_budget_sample",
     "source_upsample",
+    "cleaning_verdicts",
     "suite_verdicts",
     "pricing_summary",
     "revenue_by_nation",

@@ -2478,6 +2478,131 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cleaning_verdicts_oracle() -> str:
+    from reviews_quality_check_spark.functions.pii import sql_pii_exprs
+    from reviews_quality_check_spark.functions.quality import GOPHER_STOP_SET
+    from reviews_quality_check_spark.sources.planted import (
+        sql_planted_clean,
+        sql_planted_gopher,
+        sql_planted_pii,
+    )
+
+    stops = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOP_SET) + "]"
+    counts, _red = sql_pii_exprs("text")
+    pii_sum = " + ".join(f"({expr})" for expr in counts.values())
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM {sql_planted_gopher()}
+      UNION ALL SELECT doc_id, text FROM {sql_planted_pii()}
+      UNION ALL SELECT doc_id, text FROM {sql_planted_clean()}
+    ),
+    w AS (SELECT doc_id, text, {_sql_words('text')} AS ws FROM base),
+    m AS (SELECT doc_id, text, len(ws) AS n,
+            coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS total_len,
+            len(string_split(text, '#')) - 1 AS n_hash,
+            len(string_split(text, '...')) - 1 AS n_ell,
+            len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+            len(list_filter({stops}, s -> list_contains(ws, s))) AS stop_hits,
+            {sql_sentence_count('text')} AS n_sent
+          FROM w),
+    g AS (SELECT doc_id,
+            (n >= 50 AND n <= 100000)
+            AND (total_len >= 3 * n AND total_len <= 10 * n AND n > 0)
+            AND ((n_hash + n_ell) * 10 < n)
+            AND (n_alpha * 5 >= n * 4)
+            AND (stop_hits >= 2)
+            AND (NOT contains(text, '{{'))
+            AND (NOT contains(lower(text), 'lorem ipsum'))
+            AND (n_sent >= 3) AS gopher_ok
+          FROM m),
+    tok AS (SELECT doc_id, {sql_tokens('text')} AS t FROM base),
+    bigs AS (
+      SELECT doc_id, cast(sum(c) as bigint) AS n_bigrams,
+             cast(max(c) as bigint) AS max_bigram_count
+      FROM (SELECT doc_id, bg, count(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t)),
+                                i -> t[i] || ' ' || t[i + 1])) AS bg
+                  FROM tok) GROUP BY 1, 2)
+      GROUP BY doc_id),
+    p AS (SELECT doc_id, ({pii_sum}) > 0 AS pii_found FROM base)
+    SELECT base.doc_id, g.gopher_ok,
+           coalesce(b.max_bigram_count, 0) * 100
+             <= 18 * coalesce(b.n_bigrams, 0) AS rep_ok,
+           p.pii_found,
+           g.gopher_ok
+             AND (coalesce(b.max_bigram_count, 0) * 100
+                  <= 18 * coalesce(b.n_bigrams, 0))
+             AND NOT p.pii_found AS keep
+    FROM base
+    JOIN g USING (doc_id)
+    LEFT JOIN bigs b USING (doc_id)
+    JOIN p USING (doc_id)
+    ORDER BY base.doc_id
+    """
+
+
+@_register("cleaning_verdicts", oracle=_cleaning_verdicts_oracle())
+def cleaning_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pass — the per-doc keep/drop product a
+    training pipeline actually materializes: Gopher+C4 quality rules
+    (functions/quality.gopher_keep), the Gopher repetition ceiling
+    (operators/ngrams.repetition_stats, vacuously true under 2
+    tokens), and PII presence (functions/pii.pii_counts), conjoined
+    into one verdict per document. Mirrors how the dedup family is
+    composed into retained sets: the individual rules are each
+    separately oracled (gopher_quality_flags / repetition_flags /
+    pii_scrub); this certifies their CONJUNCTION over one shared base
+    (corpus ∪ gopher planted rows ∪ PII planted rows ∪ one planted
+    CLEAN doc, id -81 — the corpus is single-line so min_sentences
+    fails on every real doc and the clean row is the keep=true
+    positive; every rule has live positives and negatives). All flags are integer-compare
+    booleans — exact parity, no float discipline. Scale shape: the
+    gopher/PII flags are per-row expressions on the scan; only the
+    repetition stats shuffle (on doc_id), then one doc_id join back."""
+    from reviews_quality_check_spark.functions.pii import pii_counts
+    from reviews_quality_check_spark.functions.quality import gopher_keep
+    from reviews_quality_check_spark.operators.ngrams import repetition_stats
+    from reviews_quality_check_spark.sources.planted import (
+        planted_clean_docs,
+        planted_gopher_docs,
+        planted_pii_docs,
+    )
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(planted_gopher_docs(spark))
+        .unionByName(planted_pii_docs(spark))
+        .unionByName(planted_clean_docs(spark))
+    )
+    pii_sum = None
+    for c in pii_counts(F.col("text")).values():
+        pii_sum = c if pii_sum is None else pii_sum + c
+    flags = base.select(
+        "doc_id",
+        gopher_keep(F.col("text")).alias("gopher_ok"),
+        (pii_sum > 0).alias("pii_found"),
+    )
+    rep = repetition_stats(base).select("doc_id", "rep_ok")
+    return (
+        flags.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "gopher_ok",
+            F.coalesce("rep_ok", F.lit(True)).alias("rep_ok"),
+            "pii_found",
+            (
+                F.col("gopher_ok")
+                & F.coalesce("rep_ok", F.lit(True))
+                & ~F.col("pii_found")
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @_register(
     "source_upsample",
     oracle=f"""

@@ -377,3 +377,42 @@ def planted_upsample_docs(spark: SparkSession) -> DataFrame:
 def sql_planted_upsample() -> str:
     vals = ", ".join(f"({i}, '{t}', '{s}')" for i, t, s in _PLANTED_UPSAMPLE)
     return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, text, source))"
+
+
+# ---------------------------------------------------------------------------
+# Clean-doc row (id -81): the synthetic corpus is single-line (sentence
+# count 1), so the Gopher min_sentences rule fails on EVERY real doc
+# and the composed cleaning_verdicts keep-conjunction would be
+# vacuously false. This one planted doc passes every rule (59 words,
+# mean word length 4.46, 5 stop-set hits, 3 sentences, max bigram
+# frequency 2/58, no symbols/braces/lorem/PII) — the single keep=true
+# positive that certifies the conjunction's true branch.
+# ---------------------------------------------------------------------------
+
+_PLANTED_CLEAN = (
+    (-81, (
+        "the careful writer adds many clear words to every line and keeps "
+        "the tone steady so the reader stays with the story. the second "
+        "sentence repeats no pair of words and offers fresh detail about "
+        "the quiet morning walk through town. the final sentence closes "
+        "with a calm note of thanks and sends the reader back to the start."
+    )),
+)
+
+
+def planted_clean_docs(spark: SparkSession) -> DataFrame:
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).cast("long").alias("doc_id"),
+                F.lit(t).alias("text"),
+            )
+            for i, t in _PLANTED_CLEAN
+        ]
+    )
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
+
+
+def sql_planted_clean() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _PLANTED_CLEAN)
+    return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, text))"

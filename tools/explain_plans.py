@@ -129,6 +129,13 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,                      # doc_id + source
         "max_exchanges": 4,
     },
+    "cleaning_verdicts": {
+        # per-row flags on the scan + one doc_id-keyed repetition agg
+        # joined back; no funnel, no cartesian
+        "plan_not_contains": "CartesianProduct|Exchange SinglePartition",
+        "max_exchanges": 4,
+        "read_cols_max": 2,                      # doc_id + text
+    },
     "source_upsample": {
         # the lone SinglePartition exchange + 1-row BNLJ here belong to
         # the scalar max(n) over pre-aggregated ~|sources| rows (one row
