@@ -245,3 +245,19 @@ def test_decontamination_discrimination(spark):
     assert got[(-5, 2)] == 5
     assert all(t != 3 for _, t in got)          # novel span never hits
     assert (-4, 2) not in got                   # base B lacks 'boomy' span
+
+
+def test_cleaning_verdicts_branches_not_vacuous(spark):
+    """Non-vacuity guard for the composed cleaning pass: the planted
+    clean doc (-81) is the ONLY keep=true row (the single-line corpus
+    fails min_sentences everywhere), and every flag column carries
+    both branches — a corpus regeneration or rule change that silences
+    a branch fails here, not just at the oracle."""
+    from reviews_quality_check_spark.queries import QUERIES
+
+    rows = QUERIES["cleaning_verdicts"](spark, "/root/testdata/sf0.001").collect()
+    kept = [r["doc_id"] for r in rows if r["keep"]]
+    assert kept == [-81]
+    for col in ("gopher_ok", "rep_ok", "pii_found"):
+        vals = {r[col] for r in rows}
+        assert vals == {True, False}, col
