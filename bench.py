@@ -1,11 +1,20 @@
 """Benchmark harness.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line to stdout:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+COMPACT JSON line to stdout:
 
-  {"metric": "validated_pages_per_sec", "value": N, "unit": "sec",
-   "queries": {...per-query seconds...}, "sf": 0.1, ...}
+  {"metric": "total_bench_seconds", "value": N, "unit": "sec",
+   "queries": {...headline-subset min seconds...}, "sf": 0.1, ...}
+
+The final line is deliberately kept well under 1500 chars (hard-guarded
+below): the driver records only a bounded tail of stdout, and round 4's
+full 76-query min+median series outgrew it, leaving the official perf
+record unparseable (BENCH_r04.json "parsed": null). The full per-query
+min+median series now goes to a sidecar file ``BENCH_DETAIL.json`` next
+to this script; the stdout line carries totals, the suite headline, the
+most expensive / most representative queries, and the host load-average
+marker so cross-round comparisons can spot contended windows.
 
 The headline metric is the north-star shape: pages/second validated by
 the flagship constraint suite over a synthetic Common-Crawl-style pages
@@ -106,8 +115,39 @@ BENCH_QUERIES = [
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)
 PAGES_PER_SF = 3_000_000
 
+# queries whose min timings ride on the compact stdout line (the rest
+# are in BENCH_DETAIL.json): the flagship suite's components, the
+# deliberately-expensive similarity block, and one representative per
+# family so a driver-recorded line alone supports round-over-round
+# comparison
+HEADLINE_QUERIES = [
+    "combined_similar_pairs",
+    "combined_similar_pairs_low",
+    "blocked_similar_pairs",
+    "simhash_buckets",
+    "near_dup_pairs",
+    "minhash_lsh_candidates",
+    "exact_dup_groups",
+    "cleaning_verdicts",
+    "gopher_quality_flags",
+    "drift_kl_daily",
+    "token_budget_sample",
+    "domain_cap_sample",
+    "ann_lsh_topk",
+    "pricing_summary",
+    "doc_column_stats",
+]
+
+# driver tail capture is 2000 chars; leave headroom for its own wrapping
+MAX_STDOUT_LINE = 1500
+
 
 def main() -> None:
+    # co-tenant load marker BEFORE Spark spins up: this virtualized host
+    # sees multi-hour windows where whole-suite benches run uniformly
+    # ~1.4x slower with zero own processes (BENCH.md r4 addendum), so a
+    # number without the load context is a weather report
+    load1_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     try:
@@ -205,14 +245,29 @@ def main() -> None:
 
     # three timed passes, best reported as steady-state throughput (this
     # virtualized host shows 20-40% run variance and occasional 10x GC /
-    # contention spikes — all three passes are recorded for honesty)
-    passes = []
-    for _ in range(3):
+    # contention spikes — all passes are recorded for honesty). If the
+    # pass set itself is noisy (max/min spread > 1.6x), run up to two
+    # extra passes instead of publishing a contended-window number as
+    # the round's record (VERDICT r4 next-round #8).
+    def timed_pass() -> float:
         t0 = time.perf_counter()
-        res = SuiteRunner(suite).run(pages, F.to_date("warc_ts").cast("string"), resume=False)
+        res = SuiteRunner(suite).run(
+            pages, F.to_date("warc_ts").cast("string"), resume=False
+        )
         materialize(res.verdicts)
         materialize(res.violations)
-        passes.append(round(time.perf_counter() - t0, 3))
+        return round(time.perf_counter() - t0, 3)
+
+    passes = [timed_pass() for _ in range(3)]
+    suite_retries = 0
+    while max(passes) / min(passes) > 1.6 and suite_retries < 2:
+        print(
+            f"[bench] noisy suite pass set {passes} (spread "
+            f"{max(passes) / min(passes):.2f}x) — retrying",
+            file=sys.stderr,
+        )
+        passes.append(timed_pass())
+        suite_retries += 1
     suite_sec = min(passes)
     timings["pages_suite_validation"] = suite_sec
     pages_per_sec = round(n_pages / suite_sec, 1)
@@ -224,24 +279,53 @@ def main() -> None:
 
     timings_median["pages_suite_validation"] = round(statistics.median(passes), 3)
     total = round(sum(timings.values()), 3)
-    out = {
+    common = {
         "metric": "total_bench_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "queries_median": timings_median,
-        "total_bench_seconds_median": round(sum(timings_median.values()), 3),
         "sf": sf,
         "cores": n_cores,
+        "n_queries": len(timings),
+        "total_median": round(sum(timings_median.values()), 3),
         "pages_validated": n_pages,
         "validated_pages_per_sec": pages_per_sec,
         "validated_pages_per_sec_median": round(
             n_pages / statistics.median(passes), 1
         ),
         "suite_passes_sec": passes,
+        "suite_retries": suite_retries,
+        "load1_start": load1_start,
+        "load1_end": round(os.getloadavg()[0], 2),
     }
+    # full min+median series -> sidecar next to this script (committed by
+    # the builder; the driver-recorded stdout line stays compact)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {**common, "queries": timings, "queries_median": timings_median},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    # compact stdout line: headline subset only, hard-capped — halve the
+    # subset rather than ever exceed the driver's tail capture again
+    headline = ["pages_suite_validation"] + [
+        q for q in HEADLINE_QUERIES if q in timings
+    ]
+    while True:
+        out = {
+            **common,
+            "queries": {q: timings[q] for q in headline},
+            "detail": "BENCH_DETAIL.json",
+        }
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= MAX_STDOUT_LINE or len(headline) <= 1:
+            break
+        headline = headline[: max(1, len(headline) // 2)]
     spark.stop()
-    print(json.dumps(out))
+    print(line)
 
 
 if __name__ == "__main__":

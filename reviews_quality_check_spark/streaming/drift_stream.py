@@ -138,11 +138,17 @@ def incremental_drift_foreach_batch(
     the directory genuinely has no committed versions — any other read
     failure RAISES instead of silently restarting drift history, and so
     does restarting with a FRESH checkpoint dir (batch ids reset) over a
-    previous run's state/drift dirs (committed versions >= batch_id, or
-    stale batch=N drift subdirs). Give each query run its own
-    state_path; the one undetectable corner is a prior run that wrote
-    ONLY batch 0 and is then restarted fresh at batch 0 — run-id
-    namespacing of state_path is the caller-side fix for that.
+    previous run's state/drift dirs (committed versions > batch_id,
+    multiple stale versions, or stale batch=N drift subdirs). The one
+    non-raising overlap is ``versions == [batch_id]``: that state is
+    either this batch's own crashed attempt (state committed before the
+    streaming offset commit) or a batch-``batch_id``-only prior run
+    restarted fresh — in BOTH cases proceeding with no prior state and
+    overwriting ``v=batch_id`` (and the batch's drift subdir, written
+    with overwrite) reproduces exactly what a clean first run writes,
+    so the replay path stays idempotent instead of raising on its own
+    crash recovery. Give each query run its own state_path regardless —
+    it keeps histories separate for reads.
 
     Returns (callback, drift_path); read drift with
     ``spark.read.parquet(drift_path)`` (partition discovery unions the
@@ -187,10 +193,18 @@ def incremental_drift_foreach_batch(
             # restart drift history (prior=[] at batch 0) and (b) leave
             # stale batch=N drift subdirs that partition discovery
             # unions into reads. Both are loud errors, not first-batch.
-            if versions:
+            # EXCEPT versions == [batch_id]: a crashed attempt of THIS
+            # batch commits state v=batch_id before the streaming offset
+            # commit, so the legitimate same-checkpoint replay of batch
+            # 0 arrives here with versions=[0], prior=[] — raising would
+            # break the module's advertised exact failure-replay. The
+            # rewrite (state=None, overwrite v=batch_id + the drift
+            # subdir) is also correct for a fresh restart over a
+            # batch-0-only prior run: it reproduces a clean first batch.
+            if versions and versions != [batch_id]:
                 raise RuntimeError(
                     f"incremental drift state at {state_path} already has "
-                    f"committed versions {versions} >= batch_id={batch_id}: "
+                    f"committed versions {versions} (batch_id={batch_id}): "
                     "the stream was restarted with a fresh checkpoint dir "
                     "over a previous run's state. Use a new state_path per "
                     "query run (or delete the old state + drift dirs) — "

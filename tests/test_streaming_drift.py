@@ -236,3 +236,41 @@ def test_incremental_drift_fresh_checkpoint_over_stale_state_raises(spark, tmp_p
     batch.write.parquet(f"{drift2}/batch=3")
     with pytest.raises(RuntimeError, match="previous run"):
         cb2(batch, 0)
+
+
+def test_incremental_drift_batch0_replay_rewrites_not_raises(spark, tmp_path):
+    """The legitimate same-checkpoint replay of batch 0 — the crashed
+    attempt committed state v=0 BEFORE the streaming offset commit —
+    must proceed (overwrite v=0) rather than raise (ADVICE r4 #1). The
+    guard still raises when any version exceeds batch_id."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.streaming.drift_stream import (
+        incremental_drift_foreach_batch,
+    )
+
+    state_path = str(tmp_path / "state")
+    batch = spark.range(3).select(
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("window_start"),
+        F.concat(F.lit("c"), F.col("id")).alias("category"),
+        F.lit(5).cast("long").alias("cnt"),
+    )
+    cb, drift_path = incremental_drift_foreach_batch(state_path, metric="kl")
+    # first (crashed-after-state-commit) attempt of batch 0
+    cb(batch, 0)
+    assert spark.read.parquet(f"{state_path}/v=0").count() == 3
+    clean_state = spark.read.parquet(f"{state_path}/v=0").collect()
+    clean_drift = spark.read.parquet(f"{drift_path}/batch=0").collect()
+    # replay of batch 0 over its own committed v=0: rewrite, not raise
+    cb(batch, 0)
+    assert sorted(map(str, spark.read.parquet(f"{state_path}/v=0").collect())) == sorted(
+        map(str, clean_state)
+    )
+    assert sorted(map(str, spark.read.parquet(f"{drift_path}/batch=0").collect())) == sorted(
+        map(str, clean_drift)
+    )
+    # versions beyond batch_id still raise (v=0 AND v=1 present at batch 0)
+    spark.read.parquet(f"{state_path}/v=0").write.parquet(f"{state_path}/v=1")
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        cb(batch, 0)
