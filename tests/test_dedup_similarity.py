@@ -168,9 +168,13 @@ def test_connected_components_long_chain_log_rounds(spark):
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir pins each round to reliable storage (durable to
     executor loss) and must produce identical labels to the default
-    localCheckpoint path."""
+    localCheckpoint path; superseded rounds' checkpoint files must be
+    deleted as the loop advances (ADVICE r4 #3), leaving at most the
+    final round's rdd dir (plus und's)."""
     from reviews_quality_check_spark.operators.dedup import connected_components
+    from reviews_quality_check_spark.operators.pinning import release_checkpoint_dir
 
+    release_checkpoint_dir(spark.sparkContext)
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (30, 31), (31, 32), (32, 30)],
         "id_a long, id_b long",
@@ -189,6 +193,12 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
 
     files = list(pathlib.Path(ckpt).rglob("*"))
     assert any(f.is_file() for f in files), "no reliable checkpoint written"
+    # file-accumulation guard: the iterative label rounds (>= 3 for this
+    # graph) must NOT each leave an rdd-N snapshot — only und + the
+    # final labels round may remain
+    rdd_dirs = [f for f in files if f.is_dir() and f.name.startswith("rdd-")]
+    assert len(rdd_dirs) <= 2, f"superseded round checkpoints not deleted: {rdd_dirs}"
+    release_checkpoint_dir(spark.sparkContext)
 
 
 def test_renumber_scalable_reliable_checkpoint(spark, tmp_path):
@@ -208,6 +218,9 @@ def test_renumber_scalable_reliable_checkpoint(spark, tmp_path):
         )
         .distinct()
     )
+    from reviews_quality_check_spark.operators.pinning import release_checkpoint_dir
+
+    release_checkpoint_dir(spark.sparkContext)
     ckpt = str(tmp_path / "rn_ckpt")
     out = renumber_scalable(df, "k", num_partitions=8, checkpoint_dir=ckpt)
     got1 = {r["k"]: r["new_id"] for r in out.collect()}
@@ -219,3 +232,119 @@ def test_renumber_scalable_reliable_checkpoint(spark, tmp_path):
     import pathlib
 
     assert any(f.is_file() for f in pathlib.Path(ckpt).rglob("*"))
+    release_checkpoint_dir(spark.sparkContext)
+
+
+def test_checkpoint_dir_set_once_and_conflict_raises(spark, tmp_path):
+    """setCheckpointDir is session-global and last-set-wins: pin() must
+    set it at most once per context and RAISE on a conflicting request
+    instead of silently re-pointing other operators' checkpoints
+    (ADVICE r4 #2). release_checkpoint_dir() is the explicit sequential
+    re-pointing hook."""
+    import pytest
+
+    from reviews_quality_check_spark.operators.pinning import (
+        pin,
+        release_checkpoint_dir,
+    )
+
+    release_checkpoint_dir(spark.sparkContext)
+    df = spark.range(10)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    pin(df, checkpoint_dir=a).count()
+    pin(df, checkpoint_dir=a).count()  # same dir: fine
+    with pytest.raises(RuntimeError, match="already set"):
+        pin(df, checkpoint_dir=b)
+    release_checkpoint_dir(spark.sparkContext)
+    pin(df, checkpoint_dir=b).count()  # explicit release -> allowed
+    release_checkpoint_dir(spark.sparkContext)
+
+
+def test_engine_checkpoint_dir_env_flag(spark, tmp_path, monkeypatch):
+    """$RQC_CHECKPOINT_DIR makes every pin() call site durable with no
+    call-site changes (VERDICT r4 next-round #3): a registry-shaped
+    operator run under the flag leaves reliable-checkpoint files."""
+    import pathlib
+
+    from reviews_quality_check_spark.operators.dedup import connected_components
+    from reviews_quality_check_spark.operators.pinning import (
+        engine_checkpoint_dir,
+        release_checkpoint_dir,
+    )
+
+    release_checkpoint_dir(spark.sparkContext)
+    ckpt = str(tmp_path / "engine_ckpt")
+    monkeypatch.setenv("RQC_CHECKPOINT_DIR", ckpt)
+    assert engine_checkpoint_dir() == ckpt
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    assert any(f.is_file() for f in pathlib.Path(ckpt).rglob("*")), (
+        "engine-level checkpoint flag did not produce reliable checkpoints"
+    )
+    release_checkpoint_dir(spark.sparkContext)
+
+
+def test_connected_components_kill_resume_chaos(spark, tmp_path):
+    """Chaos path (VERDICT r4 next-round #7): kill connected_components
+    mid-run with a resume_dir set; a re-call must (a) produce labels
+    identical to an uninterrupted run, (b) NOT recompute completed
+    rounds (their committed parquet stays byte-untouched), and (c)
+    short-circuit entirely on a second re-call after convergence."""
+    import pathlib
+
+    from reviews_quality_check_spark.operators.dedup import (
+        CCInterrupted,
+        connected_components,
+    )
+
+    # a 40-node chain plus two small components: needs several doubling
+    # rounds, so stop_after_rounds=2 lands mid-run
+    chain = [(i, i + 1) for i in range(100, 140)]
+    edges = spark.createDataFrame(
+        chain + [(1, 2), (5, 6), (6, 7)], "id_a long, id_b long"
+    )
+    baseline = {
+        r["node"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(edges).collect()
+    }
+
+    rdir = str(tmp_path / "cc_resume")
+    import pytest
+
+    with pytest.raises(CCInterrupted):
+        connected_components(edges, resume_dir=rdir, stop_after_rounds=2)
+    committed = sorted(
+        p for p in pathlib.Path(rdir).iterdir() if p.name.startswith("round=")
+    )
+    assert committed, "no rounds committed before the simulated kill"
+    # old rounds are pruned as the loop advances: at most 2 retained
+    assert len(committed) <= 2
+    mtimes_before = {
+        str(f): f.stat().st_mtime_ns
+        for p in committed
+        for f in p.rglob("*")
+        if f.is_file()
+    }
+
+    resumed = {
+        r["node"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(edges, resume_dir=rdir).collect()
+    }
+    assert resumed == baseline
+    # completed rounds were NOT recomputed: their files are untouched
+    for f, mt in mtimes_before.items():
+        if pathlib.Path(f).exists():  # oldest may have been pruned
+            assert pathlib.Path(f).stat().st_mtime_ns == mt, f"recomputed: {f}"
+    assert (pathlib.Path(rdir) / "_CONVERGED").exists()
+
+    # converged marker short-circuits: no new round dirs appear
+    dirs_before = sorted(p.name for p in pathlib.Path(rdir).iterdir())
+    again = {
+        r["node"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(edges, resume_dir=rdir).collect()
+    }
+    assert again == baseline
+    assert sorted(p.name for p in pathlib.Path(rdir).iterdir()) == dirs_before
