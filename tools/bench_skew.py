@@ -167,6 +167,43 @@ def main() -> None:
             "cap reservoir single window", naive_reservoir
         )
 
+    # --- shape 3b: cells sweep (VERDICT r4 next-round #2) -----------------
+    # Scaling the phase-1 fan-out must bound per-task rows (hot_n/cells)
+    # at ~flat cost — the evidence that salt_cells can grow with the
+    # group (adaptive mode) instead of staying a constant 16.
+    if "cells" in shapes:
+        cap = 1000
+        dfc = df.select(
+            "key",
+            F.col("v").alias("rid"),
+            F.md5(F.concat(F.lit("s:"), F.col("v").cast("string"))).alias("h"),
+        ).localCheckpoint()
+        hot_n = int(n_rows * 0.9)
+        cells_sweep = {}
+        for cells in (16, 64, 256, 1024):
+            sec = timed(
+                f"cap reservoir cells={cells}",
+                lambda cells=cells: capped_reservoir(
+                    dfc, "key", "h", "rid", cap=cap, salt_cells=cells
+                ),
+            )
+            cells_sweep[str(cells)] = {
+                "sec": sec,
+                "max_task_rows": -(-hot_n // cells),
+            }
+        # adaptive: cells from the pre-count (includes the count job)
+        cells_sweep["adaptive"] = {
+            "sec": timed(
+                "cap reservoir adaptive cells",
+                lambda: capped_reservoir(
+                    dfc, "key", "h", "rid", cap=cap,
+                    target_cell_rows=250_000,
+                ),
+            ),
+            "max_task_rows": 250_000,
+        }
+        timings["reservoir_cells_sweep"] = cells_sweep
+
     out = {
         "rows": n_rows,
         "hot_frac": 0.9,
