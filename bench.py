@@ -227,6 +227,22 @@ def main() -> None:
     suite.add(C.not_blank("text"))
     suite.add(C.in_set("lang", VALID_LANGS))
     suite.add(C.expression_floor("flesch_floor", flesch_reading_ease_fast("text"), 5.0))
+    # cleaning-path coverage (VERDICT r4 next-round #6): the Gopher/C4
+    # flags a training pipeline gates on, as one suite RowCheck. The
+    # corpus-appropriate subset (8-40 word synthetic pages can never
+    # pass word_count>=50 / min_sentences>=3, documented in
+    # functions/quality.gopher_flags) — planted blank/dup rows violate
+    # via the n>0 term, so the check is non-vacuous.
+    from reviews_quality_check_spark.functions.quality import gopher_flags
+
+    gf = gopher_flags(F.col("text"))
+    suite.add(
+        C.predicate(
+            "gopher_core",
+            gf["mean_word_len_ok"] & gf["symbol_ratio_ok"]
+            & gf["alpha_ratio_ok"] & gf["no_brace"] & gf["no_lorem"],
+        )
+    )
     suite.add(C.uniqueness("url"))
     suite.add(C.uniqueness("fp"))
     # window-over-window drift ceiling on the same table (KL across

@@ -156,6 +156,20 @@ def expression_floor(name: str, expr: Column, floor: float, max_rate: float = 0.
     )
 
 
+def predicate(name: str, keep: Column, max_rate: float = 0.0) -> RowCheck:
+    """Generic 'row must satisfy this boolean' check — the adapter that
+    lets any per-row cleaning rule (Gopher/C4 flag conjunctions,
+    functions/quality.gopher_flags) run as a suite member: violation =
+    NOT keep (nulls violate). Pure Column expressions evaluate on the
+    same single scan/projection as every other RowCheck."""
+    return RowCheck(
+        name=name,
+        violation=keep.isNull() | ~keep,
+        detail=F.lit(f"failed {name}"),
+        max_violation_rate=max_rate,
+    )
+
+
 def uniqueness(column: str, salt_buckets: int = 64) -> AggCheck:
     """Uniqueness via salted two-phase hash aggregate (north_rule skew
     handling): metric = duplicated-key count per partition."""

@@ -50,6 +50,27 @@ def test_verdicts_and_violations(pages):
     assert ("d1", "in_set_lang", "https://a/3") in viol
 
 
+def test_predicate_check_gopher_conjunction(pages):
+    """predicate() adapts a cleaning-rule boolean (here two Gopher/C4
+    flags) into a suite RowCheck: blank text violates via the n>0 term,
+    normal rows pass, and the check shares the same single-scan
+    projection as the other row checks."""
+    from reviews_quality_check_spark.functions.quality import gopher_flags
+
+    gf = gopher_flags(F.col("text"))
+    s = C.Suite(name="t", row_key="url")
+    s.add(C.predicate("gopher_core", gf["mean_word_len_ok"] & gf["no_brace"]))
+    res = SuiteRunner(s).run(pages, F.col("day"), resume=False)
+    viol = {
+        (r["partition_id"], r["row_key"])
+        for r in res.violations.filter(F.col("check_name") == "gopher_core").collect()
+    }
+    assert ("d1", "https://a/2") in viol  # blank text -> n=0 -> violates
+    v = {(r["partition_id"], r["check_name"]): r for r in res.verdicts.collect()}
+    assert v[("d3", "gopher_core")]["passed"] is True
+    assert v[("d1", "gopher_core")]["passed"] is False
+
+
 def test_checkpoint_resume_skips_committed(pages, tmp_path, spark):
     out = str(tmp_path / "suite_out")
     runner = SuiteRunner(_suite(), out_dir=out)
