@@ -200,23 +200,34 @@ def gopher_flags(col: Column | str) -> dict[str, Column]:
         whitespace_words,
     )
 
+    from reviews_quality_check_spark.functions.text import norm_text
+
     c = F.col(col) if isinstance(col, str) else col
     words = whitespace_words(c)
     n = F.size(words)
-    total_len = F.aggregate(
-        words, F.lit(0), lambda acc, w: acc + F.length(w)
-    )
+    # All derived counts below are FLAT expressions over the normalized
+    # text (single-space-joined lowercased words), not HOF lambdas over
+    # the words array: interpreted lambda evaluation cost the flagship
+    # suite's gopher check +5s/1M rows (r5 attribution) and Catalyst
+    # inlines the words chain into each lambda body (the r1 64x trap).
+    # Exact equivalences on norm = norm_text(c):
+    #   sum(len(word)) == length(norm) - (n - 1)   [n-1 single spaces]
+    #   words containing a letter == matches of ' [^ ]*[a-z][^ ]*' in
+    #     ' ' || norm (each word consumed with its leading space)
+    #   stop word present == ' <stop> ' substring of ' ' || norm || ' '
+    norm = norm_text(c)
+    total_len = F.when(n > 0, F.length(norm) - (n - 1)).otherwise(F.lit(0))
     n_hash = F.size(F.split(c, "#", -1)) - 1
     n_ellipsis = F.size(F.split(c, r"\.\.\.", -1)) - 1
-    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    # count stop-set entries present (8 literals; words are already
-    # lowercased by norm_text) — this form mirrors 1:1 into SQL with no
-    # dependence on either engine's intersect dedup semantics
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in GOPHER_STOP_SET]),
-            lambda s: F.array_contains(words, s),
+    n_alpha = F.size(
+        F.regexp_extract_all(
+            F.concat(F.lit(" "), norm), F.lit(" [^ ]*[a-z][^ ]*"), F.lit(0)
         )
+    )
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    stop_hits = sum(
+        (padded.contains(f" {s} ").cast("int") for s in GOPHER_STOP_SET),
+        F.lit(0),
     )
     return {
         "word_count_ok": (n >= 50) & (n <= 100000),

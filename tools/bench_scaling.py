@@ -58,6 +58,11 @@ suite = C.Suite(name="pages_suite", row_key="url")
 suite.add(C.not_blank("text"))
 suite.add(C.in_set("lang", VALID_LANGS))
 suite.add(C.expression_floor("flesch_floor", flesch_reading_ease_fast("text"), 5.0))
+from reviews_quality_check_spark.functions.quality import gopher_flags
+gf = gopher_flags(F.col("text"))
+suite.add(C.predicate("gopher_core",                  # cleaning path, same scan
+    gf["mean_word_len_ok"] & gf["symbol_ratio_ok"] & gf["alpha_ratio_ok"]
+    & gf["no_brace"] & gf["no_lorem"]))
 suite.add(C.uniqueness("url"))
 suite.add(C.uniqueness("fp"))          # exact-dedup fingerprint, same scan
 suite.add(C.max_drift("warc_ts", "lang", "1 day", threshold=5.0))  # window drift
@@ -140,7 +145,7 @@ def main() -> None:
     eff_2_8 = (results[2]["seconds"] / results[8]["seconds"]) / 4.0
     eff_8_32 = (results[8]["seconds"] / results[32]["seconds"]) / 4.0
     summary = {
-        "workload": "pages constraint suite (6 checks incl. salted uniqueness, exact-dedup fp, daily lang drift)",
+        "workload": "pages constraint suite (7 checks incl. gopher_core cleaning, salted uniqueness, exact-dedup fp, daily lang drift)",
         "n_pages": n_pages,
         "levels": {str(c): results[c] for c in LEVELS},
         "scaling_efficiency_2_to_8": round(eff_2_8, 3),
@@ -164,9 +169,10 @@ seed=42, 128 parquet files so every level has full task supply).
 
 Workload: the flagship pages constraint suite — not_blank(text) +
 in_set(lang) referential + Flesch floor (flat-regex, whole-stage
-codegen) + salted uniqueness(url) + exact-dedup fingerprint uniqueness
-(md5 of normalized text, same scan) + daily lang KL-drift ceiling —
-over {n_pages:,} synthetic
+codegen) + gopher_core cleaning conjunction (flat-expression Gopher/C4
+flags, r5) + salted uniqueness(url) + exact-dedup fingerprint
+uniqueness (md5 of normalized text, same scan) + daily lang KL-drift
+ceiling — over {n_pages:,} synthetic
 Common-Crawl-shaped pages, verdicts + violations fully materialized,
 two untimed warm-up passes (tiered JIT), then best of two timed passes
 per level (all passes recorded — the host shows 20-40% run variance).
