@@ -4661,3 +4661,59 @@ def text_dedup_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dropped), "doc_id", "left_anti")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus weighting: TF-IDF / DSIR importance / CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+def _weighting_sql(kind: str) -> str:
+    from reviews_quality_check_spark.operators import weighting as WG
+
+    docs = "SELECT doc_id, text, lang, source FROM documents"
+    if kind == "tfidf":
+        return WG.sql_tfidf_top_terms(docs, SQL_TOKEN_RE, k=3)
+    if kind == "dsir":
+        return WG.sql_dsir_log_weights(docs, SQL_TOKEN_RE, target_source="src0")
+    return WG.sql_perplexity_buckets(docs, SQL_TOKEN_RE)
+
+
+@_register("tfidf_top_terms", oracle=_weighting_sql("tfidf"))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (sklearn smooth-idf form) —
+    the per-doc characteristic-term extraction a curation pipeline uses
+    for topic tagging. Extends the reference's corpus-vocabulary
+    scoring (analyzers/quality.py vocabulary richness over the corpus
+    token distribution) to per-term weights. Ranking on the raw double
+    score (bit-identical cross-engine: integer tf/df/N, fixed op
+    order), ties broken by term."""
+    from reviews_quality_check_spark.operators.weighting import tfidf_top_terms as op
+
+    return op(_t(spark, sf_dir, "documents").select("doc_id", "text"), k=3)
+
+
+@_register("dsir_log_weights", oracle=_weighting_sql("dsir"))
+def dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag models, target domain = source 'src0' vs the raw corpus;
+    per-doc log p_tgt - log p_raw through the order-independent
+    decimal-sum pipeline. The bucket model is <= 1024 rows and
+    broadcast — no corpus-sized shuffle beyond the doc_id aggregate."""
+    from reviews_quality_check_spark.operators.weighting import dsir_log_weights as op
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return op(d, target_source="src0")
+
+
+@_register("perplexity_buckets", oracle=_weighting_sql("ppl"))
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020) under a per-language corpus unigram LM; cuts at the 1/3 and
+    2/3 cumulative-mass points of the (lang, nll) value aggregate, so
+    the cut windows run over a few thousand distinct rounded scores per
+    language, never the corpus."""
+    from reviews_quality_check_spark.operators.weighting import (
+        perplexity_buckets as op,
+    )
+
+    return op(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
