@@ -137,3 +137,121 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         "rep_ok",
         F.col("max_bigram_count") * 100 <= 18 * F.col("n_bigrams"),
     )
+
+
+DUP_SPAN_N = 8  # cross-doc duplicated-span n-gram width
+
+
+def dup_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DUP_SPAN_N,
+) -> DataFrame:
+    """Cross-document duplicated n-gram span coverage (the doc-level
+    statistic behind substring-level training-data dedup, Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"):
+    an n-gram occurring in >= 2 DISTINCT documents marks all n of its
+    token positions as duplicated; per doc we report how many token
+    positions are covered by any such n-gram and the covered fraction.
+
+    Output: (doc_id, n_tokens, n_dup_tokens, dup_frac). Docs shorter
+    than n tokens have n_dup_tokens = 0. dup_frac goes through the
+    engine-standard +1e-9 round(4) (quotients of small integers hit
+    exact 4dp midpoints).
+
+    Grams are keyed by a 60-bit md5-derived hash (identical closed form
+    in the DuckDB oracle, so even a collision — which would merge two
+    distinct grams — is reproduced bit-identically cross-engine) to
+    keep the gram shuffle narrow at corpus scale. Shape: explode ->
+    two-level hash-aggregate for the distinct-doc count -> equi-join of
+    occurrences against the dup-gram set -> position explode ->
+    doc-keyed distinct+count. No windows, no cartesian; the gram joins
+    are plain hash shuffles AQE can split on hot boilerplate grams.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    occ = (
+        toks.select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("t"), n)).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gh"),
+        )
+    )
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    covered = (
+        occ.join(dup, "gh")
+        .select(
+            "doc_id", F.explode(F.sequence("pos", F.col("pos") + n - 1)).alias("p")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens")
+                    + F.lit(1e-9),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_dup_ngram_spans(docs_sql: str, token_re: str, n: int = DUP_SPAN_N) -> str:
+    """DuckDB twin of dup_ngram_spans over a (doc_id, text) relation."""
+    return f"""
+    WITH docs AS ({docs_sql}),
+    tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{token_re}') AS t
+      FROM docs),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t) - {n - 1}, 0) + 1)) AS i
+      FROM tok),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(t[i:i+{n - 1}], ' ')), 1, 15))::bigint AS gh
+      FROM idx),
+    dup AS (
+      SELECT gh FROM occ GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    covered AS (
+      SELECT doc_id, count(*) AS n_dup_tokens FROM (
+        SELECT DISTINCT doc_id, p FROM (
+          SELECT doc_id, pos + unnest(range(0, {n})) AS p
+          FROM occ JOIN dup USING (gh)))
+      GROUP BY doc_id),
+    base AS (SELECT doc_id, len(t) AS n_tokens FROM tok)
+    SELECT base.doc_id,
+           cast(n_tokens AS bigint) AS n_tokens,
+           cast(coalesce(n_dup_tokens, 0) AS bigint) AS n_dup_tokens,
+           CASE WHEN n_tokens > 0
+                THEN round(cast(coalesce(n_dup_tokens, 0) AS double) / n_tokens
+                           + 1e-9, 4)
+                ELSE 0.0 END AS dup_frac
+    FROM base LEFT JOIN covered USING (doc_id)
+    ORDER BY doc_id
+    """

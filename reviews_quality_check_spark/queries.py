@@ -4717,3 +4717,34 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return op(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
+
+
+def _dup_spans_oracle() -> str:
+    from reviews_quality_check_spark.operators.ngrams import sql_dup_ngram_spans
+
+    base = (
+        "SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id, text FROM {_SQL_PLANTED_DOCS()}"
+    )
+    return sql_dup_ngram_spans(base, SQL_TOKEN_RE)
+
+
+@_register("dup_ngram_spans", oracle=_dup_spans_oracle())
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-gram span coverage per doc (the
+    doc-level statistic behind substring-level dedup, Lee et al. 2022)
+    over documents ∪ the planted dup fixtures: the exact-dup groups
+    (-1..-6) cover every position (dup_frac 1.0) and the near-dup long
+    pairs (-7..-10) cover the shared runs partially — both branches
+    certified with non-trivial values. Grams keyed by the 60-bit md5
+    closed form so any hash collision reproduces identically in the
+    oracle."""
+    from reviews_quality_check_spark.operators.ngrams import dup_ngram_spans as op
+    from reviews_quality_check_spark.sources.planted import planted_documents
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(planted_documents(spark).select("doc_id", "text"))
+    )
+    return op(d)

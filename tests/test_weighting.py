@@ -124,3 +124,48 @@ def test_perplexity_excludes_zero_token_docs(spark):
     rows = [(0, "real words here", "en", "a"), (1, "!!!", "en", "a")]
     out = perplexity_buckets(_docs(spark, rows)).collect()
     assert [r.doc_id for r in out] == [0]
+
+
+# ---------------------------------------------------------------------------
+# dup_ngram_spans (operators/ngrams.py) — hand-computed coverage
+# ---------------------------------------------------------------------------
+
+def test_dup_ngram_spans_hand_computed(spark):
+    from reviews_quality_check_spark.operators.ngrams import dup_ngram_spans
+
+    shared = "a b c d e f g h"  # exactly one 8-gram
+    rows = [
+        (0, shared + " x y z", "en", "a"),       # positions 0..7 covered
+        (1, "p q " + shared, "en", "a"),         # positions 2..9 covered
+        (2, "totally unique words only here", "en", "a"),
+        (3, "short doc", "en", "a"),             # < 8 tokens -> no grams
+    ]
+    out = {r.doc_id: r for r in dup_ngram_spans(_docs(spark, rows)).collect()}
+    assert out[0].n_tokens == 11 and out[0].n_dup_tokens == 8
+    assert out[0].dup_frac == pytest.approx(round(8 / 11 + 1e-9, 4))
+    assert out[1].n_tokens == 10 and out[1].n_dup_tokens == 8
+    assert out[2].n_dup_tokens == 0 and out[2].dup_frac == 0.0
+    assert out[3].n_dup_tokens == 0
+
+
+def test_dup_ngram_spans_overlapping_grams_union(spark):
+    from reviews_quality_check_spark.operators.ngrams import dup_ngram_spans
+
+    # two docs sharing a 9-token run -> two overlapping dup 8-grams,
+    # coverage must be the UNION (9 positions, not 16)
+    run = "a b c d e f g h i"
+    rows = [(0, run, "en", "a"), (1, run + " tail words", "en", "a")]
+    out = {r.doc_id: r for r in dup_ngram_spans(_docs(spark, rows)).collect()}
+    assert out[0].n_dup_tokens == 9
+    assert out[0].dup_frac == pytest.approx(1.0)
+    assert out[1].n_dup_tokens == 9
+
+
+def test_dup_ngram_spans_within_doc_repeat_not_counted(spark):
+    from reviews_quality_check_spark.operators.ngrams import dup_ngram_spans
+
+    # the same 8-gram twice WITHIN one doc is not a cross-doc dup
+    run = "a b c d e f g h"
+    rows = [(0, run + " " + run, "en", "a"), (1, "other text entirely", "en", "a")]
+    out = {r.doc_id: r for r in dup_ngram_spans(_docs(spark, rows)).collect()}
+    assert out[0].n_dup_tokens == 0
