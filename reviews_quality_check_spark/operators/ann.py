@@ -452,3 +452,94 @@ def lsh_bucket_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.96,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with a coarse quantizer, compare pairs ONLY within a cluster, and
+    drop all but one member of every semantic-duplicate pair (cos >=
+    threshold). Keeps the lowest id of a duplicate pair — the paper
+    keeps one representative per group; lowest-id is the deterministic
+    choice (same convention as the text dedup family).
+
+    ``centroids=None`` fits KMeans (the paper's choice); pass
+    fixed_centroids() for the engine-portable quantizer the DuckDB
+    oracle can reproduce bit-for-bit (same trade as ivf_topk).
+
+    Output: (vec_id, cell, keep) for EVERY corpus vector. Zero-norm
+    vectors keep=true (cosine() guards the zero denominator to 0.0, so
+    they never pair).
+
+    Scale: assignment is a pure broadcast expression scan; the pairwise
+    stage is block-local within cells — O(sum B_c^2), the deliberate
+    SemDeDup contract (the paper's k is chosen so B_c stays small;
+    cells partition the space, so cross-cell near-dups are the quantizer
+    recall trade, exactly as published). The dropped set joins back as
+    a broadcast anti-join semantics via left join on the distinct ids.
+    """
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+        km = KMeans(k=n_cells, seed=42, maxIter=20).fit(train)
+        centroids = [list(map(float, c)) for c in km.clusterCenters()]
+
+    def dist2(vec: Column, center: list[float]) -> Column:
+        carr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(
+                vec, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def nearest_cell(vec: Column) -> Column:
+        pairs = F.array(
+            *[
+                F.struct(dist2(vec, c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.element_at(
+            F.transform(F.array_sort(pairs), lambda s: s.getField("cell")), 1
+        )
+
+    cells = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        nearest_cell(F.col(vec_col)).alias("cell"),
+    )
+    a = cells.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        cells.join(F.broadcast(dropped), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

@@ -4748,3 +4748,75 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(planted_documents(spark).select("doc_id", "text"))
     )
     return op(d)
+
+
+_SEMDEDUP_TAU = 0.96
+
+
+def _semdedup_oracle() -> str:
+    dot_ab = (
+        f"list_reduce(list_transform(range(1, {_EMB_DIM} + 1),"
+        " i -> cast(a.v[i] as double) * cast(b.v[i] as double)), (x, y) -> x + y)"
+    )
+    n2 = (
+        "sqrt(list_reduce(list_transform({s}, x -> cast(x as double)"
+        " * cast(x as double)), (x, y) -> x + y))"
+    )
+    denom = f"({n2.format(s='a.v')} * {n2.format(s='b.v')})"
+    return f"""
+    WITH cent AS (
+      SELECT cast(i as int) AS cell,
+             list_transform(range(0, {_EMB_DIM}),
+               j -> ('0x' || substring(md5('c' || i::varchar || ':' || j::varchar), 1, 8))::bigint
+                    / 4294967295.0 * 2.0 - 1.0) AS c
+      FROM range(0, 8) t(i)),
+    embs AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id, embedding FROM {_SQL_PLANTED_EMB()}),
+    dists AS (
+      SELECT v.vec_id, v.embedding, ct.cell,
+             list_reduce(list_transform(range(1, {_EMB_DIM} + 1),
+               i -> (cast(v.embedding[i] as double) - ct.c[i])
+                    * (cast(v.embedding[i] as double) - ct.c[i])), (x, y) -> x + y) AS d
+      FROM embs v CROSS JOIN cent ct),
+    cells AS (
+      SELECT vec_id, embedding AS v, cell FROM (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+        FROM dists) WHERE rk = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE (CASE WHEN {denom} > 0 THEN {dot_ab} / {denom} ELSE 0.0 END)
+            >= {_SEMDEDUP_TAU}),
+    out AS (
+      SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS keep
+      FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id)
+    SELECT vec_id, cell, keep FROM out ORDER BY vec_id
+    """
+
+
+@_register("semdedup_keep", oracle=_semdedup_oracle())
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup verdict per embedding (Abbas et al.
+    2023): fixed md5-derived coarse quantizer (8 cells), within-cell
+    pairwise cosine >= 0.96 drops the higher vec_id. Planted rows
+    certify both branches (identical/0.99 pairs dropped, the ~0.95 pair
+    kept); the KMeans-fitted quantizer is the same operator with
+    centroids=None, pytest-gated."""
+    from reviews_quality_check_spark.operators.ann import fixed_centroids, semdedup
+    from reviews_quality_check_spark.sources.planted import planted_embeddings
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .unionByName(planted_embeddings(spark).select("vec_id", "embedding"))
+    )
+    return semdedup(
+        e,
+        threshold=_SEMDEDUP_TAU,
+        n_cells=8,
+        centroids=fixed_centroids(_EMB_DIM, 8),
+        dim=_EMB_DIM,
+    )
