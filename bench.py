@@ -110,6 +110,12 @@ BENCH_QUERIES = [
     "decontamination_hits",
     "split_assignments",
     "sequence_packing",
+    "png_pixel_stats",
+    "tfidf_top_terms",
+    "dsir_log_weights",
+    "perplexity_buckets",
+    "dup_ngram_spans",
+    "semdedup_keep",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)
