@@ -164,6 +164,40 @@ EXPECT: dict[str, dict] = {
         "plan_not_contains": "CartesianProduct|Exchange SinglePartition",
         "max_exchanges": 3,
     },
+    # --- round-5 queries ---
+    "tfidf_top_terms": {
+        # tf JOIN df-by-term is the deliberate AQE-skew-splittable shape;
+        # the lone 1-row attach is the corpus count N
+        "plan_not_contains": "CartesianProduct",
+        "plan_contains": "HashAggregate",
+        "read_cols_max": 2,                      # doc_id + text
+    },
+    "dsir_log_weights": {
+        # <=1024-row bucket model broadcast into the feature stream;
+        # the only corpus shuffle is the doc_id aggregate
+        "plan_contains": "BroadcastHashJoin",
+        "plan_not_contains": "CartesianProduct",
+        "read_cols_max": 3,                      # doc_id + text + source
+    },
+    "perplexity_buckets": {
+        # LM totals and tertile cuts broadcast; cut windows run over the
+        # (lang, nll) value aggregate, never the corpus
+        "plan_contains": "BroadcastHashJoin",
+        "plan_not_contains": "CartesianProduct",
+        "read_cols_max": 3,                      # doc_id + text + lang
+    },
+    "dup_ngram_spans": {
+        # gram-hash aggregates + equi-joins only: no funnel, no cartesian
+        "plan_not_contains": "CartesianProduct|Exchange SinglePartition",
+        "read_cols_max": 2,                      # doc_id + text
+    },
+    "semdedup_keep": {
+        # centroid assignment is a pure expression scan; pairwise stage
+        # is an equi-join on cell; dropped set joins back broadcast
+        "plan_contains": "BroadcastHashJoin",
+        "plan_not_contains": "CartesianProduct",
+        "read_cols_max": 2,                      # vec_id + embedding
+    },
     "eval_holdout_sample": {
         # exact-size top-K: per-partition top-K merged on the driver —
         # no global sort, no exchange at all over the corpus
