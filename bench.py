@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     "dup_ngram_spans",
     "semdedup_keep",
+    "numeric_drift_psi_daily",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

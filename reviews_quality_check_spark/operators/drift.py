@@ -124,3 +124,62 @@ def categorical_window_drift(
         .agg(F.sum(term).alias("drift"))
         .orderBy("window_start")
     )
+
+
+def decile_bucketize(
+    df: DataFrame, num_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Attach a quantile-bucket column for numeric-distribution drift
+    (north_star: "drift via KL/PSI comparison of t-digest histograms"):
+    global type-1 quantile edges — edge_k = smallest v with
+    count(rows <= v) * n_buckets >= k * N — computed on the (value,
+    count) aggregate, then each row bucketed as the number of edges
+    strictly below its value (0..n_buckets-1).
+
+    Null values are excluded (no distribution evidence). The edge
+    computation runs a cumulative window over the DISTINCT-VALUE
+    aggregate (bounded by the value grid — 2dp money-style data has a
+    bounded grid regardless of row count), then a single 1-row edge
+    vector broadcasts back; rows never shuffle. Type-1 edges are
+    exactly what the t-digest sketch (operators.column_stats.
+    quantile_digest) produces in its identity-compression regime, so
+    this certified path and the 10^12-scale digest path agree where
+    both are exact; at true scale the edges come from the digest and
+    the bucket compare is unchanged.
+    """
+    vals = df.filter(F.col(num_col).isNotNull())
+    dist = vals.groupBy(F.col(num_col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = dist.withColumn("cum", F.sum("c").over(wcum)).crossJoin(
+        F.broadcast(vals.agg(F.count(F.lit(1)).alias("n")))
+    )
+    edges = cum.groupBy().agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * n_buckets >= k * F.col("n"), F.col("v"))
+            ).alias(f"e{k}")
+            for k in range(1, n_buckets)
+        ]
+    )
+    bucket = sum(
+        (F.col(num_col) > F.col(f"e{k}")).cast("int") for k in range(1, n_buckets)
+    )
+    return vals.crossJoin(F.broadcast(edges)).withColumn(
+        "bucket", bucket.cast("long")
+    ).drop(*[f"e{k}" for k in range(1, n_buckets)])
+
+
+def numeric_window_drift(
+    df: DataFrame,
+    ts_col: str,
+    num_col: str,
+    window_expr: str = "1 day",
+    metric: str = "psi",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Numeric-distribution drift across time windows: decile-bucket
+    histograms (shared global edges, so windows are compared on the
+    SAME binning — the t-digest-histogram comparison the north_star
+    names) fed through the categorical window-drift machinery."""
+    b = decile_bucketize(df, num_col, n_buckets)
+    return categorical_window_drift(b, ts_col, "bucket", window_expr, metric=metric)

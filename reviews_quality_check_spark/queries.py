@@ -4820,3 +4820,79 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=fixed_centroids(_EMB_DIM, 8),
         dim=_EMB_DIM,
     )
+
+
+@_register(
+    "numeric_drift_psi_daily",
+    oracle="""
+    WITH vals AS (SELECT ts, value FROM events WHERE value IS NOT NULL),
+    dist AS (SELECT value AS v, count(*) AS c FROM vals GROUP BY value),
+    cum AS (
+      SELECT v, sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             (SELECT count(*) FROM vals) AS n
+      FROM dist),
+    edges AS (
+      SELECT min(CASE WHEN cum * 10 >= 1 * n THEN v END) AS e1,
+             min(CASE WHEN cum * 10 >= 2 * n THEN v END) AS e2,
+             min(CASE WHEN cum * 10 >= 3 * n THEN v END) AS e3,
+             min(CASE WHEN cum * 10 >= 4 * n THEN v END) AS e4,
+             min(CASE WHEN cum * 10 >= 5 * n THEN v END) AS e5,
+             min(CASE WHEN cum * 10 >= 6 * n THEN v END) AS e6,
+             min(CASE WHEN cum * 10 >= 7 * n THEN v END) AS e7,
+             min(CASE WHEN cum * 10 >= 8 * n THEN v END) AS e8,
+             min(CASE WHEN cum * 10 >= 9 * n THEN v END) AS e9
+      FROM cum),
+    bucketed AS (
+      SELECT ts,
+             cast((CASE WHEN value > e1 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > e2 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > e3 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > e4 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > e5 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > e6 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > e7 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > e8 THEN 1 ELSE 0 END)
+           + (CASE WHEN value > e9 THEN 1 ELSE 0 END) AS bigint) AS bucket
+      FROM vals CROSS JOIN edges),
+    hist AS (
+      SELECT date_trunc('day', ts) AS w, bucket AS cat, count(*) AS c
+      FROM bucketed GROUP BY 1, 2),
+    probs AS (
+      SELECT w, cat, cast(c as double) / sum(cast(c as double)) OVER (PARTITION BY w) AS p
+      FROM hist),
+    wm AS (
+      SELECT w, lag(w) OVER (ORDER BY w) AS pw
+      FROM (SELECT DISTINCT w FROM hist)),
+    cur AS (
+      SELECT probs.w, probs.cat, probs.p, wm.pw
+      FROM probs JOIN wm ON probs.w = wm.w WHERE wm.pw IS NOT NULL),
+    prev AS (
+      SELECT wm.w AS nw, probs.cat, probs.p AS pp
+      FROM probs JOIN wm ON probs.w = wm.pw),
+    aligned AS (
+      SELECT coalesce(cur.w, prev.nw) AS w,
+             coalesce(cur.cat, prev.cat) AS cat, cur.p, prev.pp
+      FROM cur FULL OUTER JOIN prev ON cur.w = prev.nw AND cur.cat = prev.cat)
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           round(sum((greatest(coalesce(p, 0.0), 1e-6) - greatest(coalesce(pp, 0.0), 1e-6))
+                     * ln(greatest(coalesce(p, 0.0), 1e-6) / greatest(coalesce(pp, 0.0), 1e-6))), 4) AS drift
+    FROM aligned GROUP BY w ORDER BY window_start
+    """,
+)
+def numeric_drift_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUMERIC-distribution drift across warc_ts-style windows — the
+    north_star's "KL/PSI comparison of t-digest histograms" for a
+    numeric column: shared global decile edges (type-1 quantiles, the
+    digest's identity-regime output) bucket every event's value, then
+    per-day 10-bucket histograms feed the same PSI alignment as the
+    categorical path. Complements drift_kl_daily/drift_psi_daily,
+    which only cover categorical columns."""
+    from reviews_quality_check_spark.operators.drift import numeric_window_drift
+
+    e = _t(spark, sf_dir, "events")
+    out = numeric_window_drift(e, "ts", "value", "1 day", metric="psi")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.round("drift", 4).alias("drift"),
+    ).orderBy("window_start")

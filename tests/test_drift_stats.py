@@ -248,3 +248,56 @@ def test_quantile_digest_hot_and_small_groups_together(spark):
     cum = np.cumsum(w) - 0.5
     expect = [float(np.interp(q * 10, cum, v)) for q in (0.25, 0.5, 0.75, 0.95)]
     assert out["small"] == expect
+
+
+def test_decile_bucketize_exact_edges(spark):
+    from reviews_quality_check_spark.operators.drift import decile_bucketize
+
+    # values 1..100, one row each: type-1 decile edges are 10,20,...,90;
+    # bucket(v) = number of edges strictly below v
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("x"))
+    out = {r.x: r.bucket for r in decile_bucketize(df, "x").collect()}
+    assert out[1.0] == 0 and out[10.0] == 0     # v=10 == e1 -> lower bucket
+    assert out[11.0] == 1
+    assert out[55.0] == 5
+    assert out[90.0] == 8 and out[91.0] == 9 and out[100.0] == 9
+    # every bucket holds exactly 10 values
+    from collections import Counter
+    assert Counter(out.values()) == {b: 10 for b in range(10)}
+
+
+def test_numeric_window_drift_detects_shift(spark):
+    from reviews_quality_check_spark.operators.drift import numeric_window_drift
+
+    # day1/day2: same uniform distribution; day3: shifted into the top
+    # deciles -> drift(day3) must dwarf drift(day2)
+    def day(d, offset):
+        return spark.range(200).select(
+            F.lit(f"2024-01-0{d} 06:00:00").cast("timestamp").alias("ts"),
+            (F.col("id") % 100 + offset).cast("double").alias("x"),
+        )
+
+    df = day(1, 0).unionByName(day(2, 0)).unionByName(day(3, 1000))
+    out = {
+        str(r.window_start)[:10]: r.drift
+        for r in numeric_window_drift(df, "ts", "x", "1 day").collect()
+    }
+    assert out["2024-01-02"] < 1e-6          # identical distributions
+    assert out["2024-01-03"] > 1.0           # full-mass shift
+    assert "2024-01-01" not in out           # first window has no predecessor
+
+
+def test_numeric_window_drift_ignores_nulls(spark):
+    from reviews_quality_check_spark.operators.drift import numeric_window_drift
+
+    df = spark.range(100).select(
+        F.lit("2024-01-01 06:00:00").cast("timestamp").alias("ts"),
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("double")).alias("x"),
+    ).unionByName(
+        spark.range(100).select(
+            F.lit("2024-01-02 06:00:00").cast("timestamp").alias("ts"),
+            F.when(F.col("id") % 2 == 0, F.col("id").cast("double")).alias("x"),
+        )
+    )
+    out = numeric_window_drift(df, "ts", "x", "1 day").collect()
+    assert len(out) == 1 and out[0].drift < 1e-6

@@ -191,6 +191,12 @@ EXPECT: dict[str, dict] = {
         "plan_not_contains": "CartesianProduct|Exchange SinglePartition",
         "read_cols_max": 2,                      # doc_id + text
     },
+    "numeric_drift_psi_daily": {
+        # decile edges from the distinct-value aggregate (bounded grid)
+        # broadcast back as one row; histograms are 10-bucket aggregates
+        "plan_not_contains": "CartesianProduct",
+        "read_cols_max": 2,                      # ts + value
+    },
     "semdedup_keep": {
         # centroid assignment is a pure expression scan; pairwise stage
         # is an equi-join on cell; dropped set joins back broadcast
