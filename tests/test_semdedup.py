@@ -81,6 +81,27 @@ def test_semdedup_zero_norm_vector_kept(spark):
     assert out[9].keep is True and out[10].keep is True
 
 
+def test_semdedup_sign_planes_mode(spark):
+    # hyperplane-sign quantizer (the registered/scale path): same
+    # verdicts — dup pair co-celled (identical direction -> identical
+    # sign bits), moderate/far pairs kept; zero-norm rows never pair
+    from reviews_quality_check_spark.operators.ann import md5_unit
+
+    planes = [[md5_unit(f"sd{i}:{j}") for j in range(DIM)] for i in range(3)]
+    rows = _base_rows() + [(9, [0.0] * DIM), (10, [0.0] * DIM)]
+    out = {
+        r.vec_id: r
+        for r in semdedup(
+            _embs(spark, rows), threshold=0.96, planes=planes, dim=DIM
+        ).collect()
+    }
+    assert out[0].keep is True and out[1].keep is False
+    assert out[0].cell == out[1].cell
+    assert out[2].keep is True and out[3].keep is True
+    assert out[9].keep is True and out[10].keep is True
+    assert all(0 <= r.cell < 8 for r in out.values())
+
+
 def test_semdedup_kmeans_path_matches_fixed_on_dup_pair(spark):
     # fitted quantizer still co-cells near-identical vectors -> same verdict
     out = {
