@@ -215,3 +215,111 @@ def max_drift(ts_col: str, cat_col: str, window_expr: str, threshold: float,
 
     return AggCheck(name=f"drift_{metric}_{cat_col}", plan=plan, op="<=",
                     threshold=threshold, requires=(ts_col, cat_col))
+
+
+def referential(column: str, dim: DataFrame, dim_col: str,
+                max_count: float = 0.0, broadcast: bool = True) -> AggCheck:
+    """Referential-integrity check (north_rule: 'referential checks via
+    broadcast or sort-merge joins against dimension tables'): metric =
+    count of rows whose ``column`` value has no match in the dimension.
+    NULL foreign keys are NOT violations (compose with not_null for
+    that). ``broadcast=True`` hints the (deduped) dim build side — the
+    small-dimension default; pass False for large dims and let the
+    planner pick sort-merge. No pre-filter on the fact side, so every
+    partition keeps a verdict row even when all its keys are null."""
+
+    def plan(df: DataFrame, partition_col: str) -> DataFrame:
+        d = dim.select(F.col(dim_col).alias("__ref")).distinct()
+        if broadcast:
+            d = F.broadcast(d)
+        return (
+            df.select(
+                F.col(partition_col).alias("partition_id"),
+                F.col(column).alias("__fk"),
+            )
+            .join(d, F.col("__fk") == F.col("__ref"), "left")
+            .groupBy("partition_id")
+            .agg(
+                F.sum(
+                    (F.col("__fk").isNotNull() & F.col("__ref").isNull()).cast("long")
+                ).cast("double").alias("metric_value")
+            )
+            .withColumn("violation_count", F.col("metric_value").cast("long"))
+        )
+
+    return AggCheck(name=f"referential_{column}", plan=plan, op="<=",
+                    threshold=float(max_count), requires=(column,))
+
+
+def distinct_count_min(column: str, floor: float, approx: bool = False,
+                       rsd: float = 0.05) -> AggCheck:
+    """Per-partition distinct-count floor. Default path is EXACT via the
+    two-phase shape (dedup keyed on (partition, value) — map-side
+    partial dedup, balanced shuffle even when one partition is hot),
+    so the DuckDB oracle matches bit-for-bit. ``approx=True`` switches
+    to the HyperLogLog sketch (approx_count_distinct, the north_star's
+    named path for 10^12-row profiles) — an estimate, pytest-pinned
+    within rsd of exact rather than oracle-certified. Nulls don't
+    count as a value (both engines' count-distinct convention)."""
+
+    def plan(df: DataFrame, partition_col: str) -> DataFrame:
+        base = df.select(
+            F.col(partition_col).alias("partition_id"), F.col(column).alias("__k")
+        ).filter(F.col("__k").isNotNull())
+        if approx:
+            out = base.groupBy("partition_id").agg(
+                F.approx_count_distinct("__k", rsd).cast("double").alias("metric_value")
+            )
+        else:
+            out = (
+                base.distinct()
+                .groupBy("partition_id")
+                .agg(F.count(F.lit(1)).cast("double").alias("metric_value"))
+            )
+        return out.withColumn("violation_count", F.lit(0).cast("long"))
+
+    name = f"distinct_min_{column}" + ("_approx" if approx else "")
+    return AggCheck(name=name, plan=plan, op=">=", threshold=float(floor),
+                    requires=(column,))
+
+
+def quantile_min(column: str, pct: int, floor: float) -> AggCheck:
+    """Per-partition percentile floor, integer-exact: metric = the
+    type-1 pct-th percentile (smallest v with 100*cum_count >= pct*n
+    over the per-partition distinct-value CDF) — no float quantile
+    interpolation, so a SQL oracle matches bit-for-bit. Scale: the
+    cumulative window runs over DISTINCT values per partition, bounded
+    by value cardinality (right for discrete profile columns like
+    lengths/counts; for unbounded continuous columns use the t-digest
+    sketch path in operators/column_stats instead). Null values are
+    excluded from the CDF."""
+
+    def plan(df: DataFrame, partition_col: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        dist = (
+            df.select(
+                F.col(partition_col).alias("partition_id"), F.col(column).alias("__v")
+            )
+            .filter(F.col("__v").isNotNull())
+            .groupBy("partition_id", "__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = (
+            Window.partitionBy("partition_id")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        nw = Window.partitionBy("partition_id")
+        cum = dist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+            "__n", F.sum("__c").over(nw)
+        )
+        return (
+            cum.filter(F.col("__cum") * 100 >= F.lit(int(pct)) * F.col("__n"))
+            .groupBy("partition_id")
+            .agg(F.min("__v").cast("double").alias("metric_value"))
+            .withColumn("violation_count", F.lit(0).cast("long"))
+        )
+
+    return AggCheck(name=f"p{int(pct)}_min_{column}", plan=plan, op=">=",
+                    threshold=float(floor), requires=(column,))

@@ -1154,6 +1154,100 @@ ORACLES["suite_verdicts"] = f"""
 """
 
 
+@_register("suite_profile_verdicts")
+def suite_profile_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-suite coverage of the north_rule's remaining check
+    families as declarative AggChecks: REFERENTIAL (source vs a
+    broadcast dimension of known sources), exact DISTINCT-COUNT floor
+    (two-phase dedup; the HLL sketch variant of the same constructor is
+    pytest-pinned within rsd), and an integer-exact p50 floor over the
+    distinct-value CDF — plus a not_null row check so the row/agg union
+    path is exercised together. Planted rows (-91..-94) drive every
+    fail branch at every sf: the 'xx' micro-partition fails both floors
+    and the rogue-source doc plants one referential violation in 'en'."""
+    from reviews_quality_check_spark.plans import checks as C
+    from reviews_quality_check_spark.plans.runner import SuiteRunner
+    from reviews_quality_check_spark.sources.planted import planted_profile_docs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(planted_profile_docs(spark))
+    )
+    srcs = [f"src{i}" for i in range(20)]
+    dim = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in srcs])).alias("src")
+    )
+    suite = C.Suite(name="documents_profile", row_key="doc_id")
+    suite.add(C.not_null("n_chars"))
+    suite.add(C.referential("source", dim, "src"))
+    suite.add(C.distinct_count_min("doc_id", 10))
+    suite.add(C.quantile_min("n_chars", 50, 30))
+    res = SuiteRunner(suite).run(d, F.col("lang"), resume=False)
+    return res.verdicts.select(
+        "partition_id",
+        "check_name",
+        "passed",
+        "violation_count",
+        F.round(F.col("metric_value") + 1e-9, 4).alias("metric_value"),
+        F.round("threshold", 4).alias("threshold"),
+    ).orderBy("partition_id", "check_name")
+
+
+def _suite_profile_oracle() -> str:
+    from reviews_quality_check_spark.sources.planted import sql_planted_profile
+
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars FROM {sql_planted_profile()}),
+    dim AS (SELECT 'src' || i::varchar AS src FROM range(0, 20) t(i)),
+    nn AS (
+      SELECT lang AS partition_id, count(*) AS n,
+             sum(case when n_chars is null then 1 else 0 end) AS c_null
+      FROM docs GROUP BY lang),
+    ref AS (
+      SELECT d.lang AS partition_id,
+             cast(sum(case when d.source IS NOT NULL AND m.src IS NULL
+                           then 1 else 0 end) as bigint) AS viol
+      FROM docs d LEFT JOIN dim m ON d.source = m.src GROUP BY d.lang),
+    dmin AS (
+      SELECT lang AS partition_id, cast(count(DISTINCT doc_id) as double) AS dc
+      FROM docs WHERE doc_id IS NOT NULL GROUP BY lang),
+    cdf AS (
+      SELECT lang AS partition_id, n_chars AS v, count(*) AS c
+      FROM docs WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+    cum AS (
+      SELECT partition_id, v,
+             sum(c) OVER (PARTITION BY partition_id ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY partition_id) AS n
+      FROM cdf),
+    p50 AS (
+      SELECT partition_id, cast(min(v) as double) AS p
+      FROM cum WHERE cum * 100 >= 50 * n GROUP BY partition_id)
+    SELECT partition_id, 'not_null_n_chars' AS check_name, c_null = 0 AS passed,
+           cast(c_null as bigint) AS violation_count,
+           round(cast(c_null as double) / n + 1e-9, 4) AS metric_value,
+           cast(0.0 as double) AS threshold
+    FROM nn
+    UNION ALL
+    SELECT partition_id, 'referential_source', viol <= 0.0, viol,
+           round(cast(viol as double) + 1e-9, 4), cast(0.0 as double) FROM ref
+    UNION ALL
+    SELECT partition_id, 'distinct_min_doc_id', dc >= 10.0, cast(0 as bigint),
+           round(dc + 1e-9, 4), cast(10.0 as double) FROM dmin
+    UNION ALL
+    SELECT partition_id, 'p50_min_n_chars', p >= 30.0, cast(0 as bigint),
+           round(p + 1e-9, 4), cast(30.0 as double) FROM p50
+    ORDER BY partition_id, check_name
+    """
+
+
+ORACLES["suite_profile_verdicts"] = _suite_profile_oracle()
+
+
 # ===========================================================================
 # 8. Wider relational coverage (outer joins, set ops, pivot, rollup,
 #    window frames, max_by, sessionization)

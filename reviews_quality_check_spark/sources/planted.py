@@ -416,3 +416,45 @@ def planted_clean_docs(spark: SparkSession) -> DataFrame:
 def sql_planted_clean() -> str:
     vals = ", ".join(f"({i}, '{t}')" for i, t in _PLANTED_CLEAN)
     return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, text))"
+
+
+# ---------------------------------------------------------------------------
+# profile-suite rows: deterministic fail branches for the profile
+# AggChecks at EVERY scale factor. The 'xx' micro-partition (3 docs,
+# tiny n_chars) fails the distinct-count floor and the p50 floor for
+# exactly that partition; the rogue-source doc plants one referential
+# violation in the 'en' partition. Ids -91..-94 (other planted families
+# use -1..-10, -51..-56, -61..-76, -81..).
+_PLANTED_PROFILE = (
+    (-91, "tiny xx one", "xx", "src0"),
+    (-92, "tiny xx two", "xx", "src1"),
+    (-93, "tiny xx three", "xx", "src2"),
+    (-94, "planted rogue-source doc with plenty of characters in it", "en", "rogue"),
+)
+
+
+def planted_profile_docs(spark: SparkSession) -> DataFrame:
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).cast("long").alias("doc_id"),
+                F.lit(t).alias("text"),
+                F.lit(lang).alias("lang"),
+                F.lit(src).alias("source"),
+                F.lit(len(t)).cast("long").alias("n_chars"),
+            )
+            for i, t, lang, src in _PLANTED_PROFILE
+        ]
+    )
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
+
+
+def sql_planted_profile() -> str:
+    vals = ", ".join(
+        f"({i}, '{t}', '{lang}', '{src}', {len(t)})"
+        for i, t, lang, src in _PLANTED_PROFILE
+    )
+    return (
+        "(SELECT * FROM (VALUES " + vals + ") "
+        "v(doc_id, text, lang, source, n_chars))"
+    )

@@ -197,6 +197,14 @@ EXPECT: dict[str, dict] = {
         "plan_not_contains": "CartesianProduct",
         "read_cols_max": 2,                      # ts + value
     },
+    "suite_profile_verdicts": {
+        # referential check joins the source dim broadcast; distinct /
+        # p50 floors are (partition, value)-keyed aggregates — no
+        # cartesian, text column pruned from the scan
+        "plan_contains": "BroadcastHashJoin",
+        "plan_not_contains": "CartesianProduct",
+        "read_cols_max": 4,                      # doc_id, lang, source, n_chars
+    },
     "semdedup_keep": {
         # centroid assignment is a pure expression scan; pairwise stage
         # is an equi-join on cell; dropped set joins back broadcast
