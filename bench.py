@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "dup_ngram_spans",
     "semdedup_keep",
     "numeric_drift_psi_daily",
+    "suite_profile_verdicts",
+    "url_blocklist_verdicts",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

@@ -3198,6 +3198,91 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKED_DOMAINS = ("src3.com", "src7.com", "rogue.example")
+
+
+def _url_blocklist_oracle() -> str:
+    from reviews_quality_check_spark.functions.url import sql_url_exprs
+
+    u = (
+        "'https://' || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)"
+        " || source || '.com/' || substr(md5(doc_id::varchar), 1, 8)"
+        " || '/p' || cast(doc_id % 7 as varchar) || '.html'"
+        " || (CASE WHEN doc_id % 3 = 0 THEN '?ref=' || lang ELSE '' END)"
+    )
+    e = sql_url_exprs("url")
+    vals = ", ".join(f"('{d}')" for d in _BLOCKED_DOMAINS)
+    return f"""
+    WITH u AS (SELECT doc_id, {u} AS url FROM documents),
+    p AS (SELECT doc_id, {e['registered_domain']} AS registered_domain,
+                 {e['path']} AS path
+          FROM u),
+    bl AS (SELECT * FROM (VALUES {vals}) v(bd))
+    SELECT p.doc_id,
+           p.registered_domain,
+           (bl.bd IS NOT NULL) AS blocked_domain,
+           (p.path LIKE '%/p5.html') AS blocked_path,
+           (bl.bd IS NULL AND p.path NOT LIKE '%/p5.html') AS keep
+    FROM p LEFT JOIN bl ON p.registered_domain = bl.bd
+    ORDER BY p.doc_id
+    """
+
+
+@_register("url_blocklist_verdicts", oracle=_url_blocklist_oracle())
+def url_blocklist_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/RefinedWeb-style URL filtering: drop documents whose
+    registered domain sits on a blocklist (broadcast left join — the
+    UT1 adult list is ~4M domains, tens of MB serialized, still
+    broadcastable; swap to sort-merge by dropping the hint for larger
+    lists) or whose path matches a blocked keyword pattern (pure
+    expression on the scan). Per-doc verdict with the reason split out,
+    the shape a crawl-cleaning audit needs. URLs synthesized
+    deterministically from (doc_id, source, lang) exactly as
+    url_host_stats; corpus-driven branches are non-vacuous at every sf
+    (2/20 sources blocked by domain, doc_id%7==5 blocked by path)."""
+    from reviews_quality_check_spark.functions.url import (
+        registered_domain,
+        url_host,
+        url_path,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".com/"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+        F.lit("/p"), F.pmod("doc_id", F.lit(7)).cast("string"), F.lit(".html"),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0, F.concat(F.lit("?ref="), F.col("lang"))
+        ).otherwise(F.lit("")),
+    )
+    p = (
+        d.select(F.col("doc_id"), url.alias("url"))
+        .select("doc_id", url_host("url").alias("host"), url_path("url").alias("path"))
+        .select(
+            "doc_id",
+            registered_domain(F.col("host")).alias("registered_domain"),
+            "path",
+        )
+    )
+    bl = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _BLOCKED_DOMAINS])).alias("bd")
+    )
+    blocked_path = F.col("path").endswith("/p5.html")
+    return (
+        p.join(F.broadcast(bl), p.registered_domain == F.col("bd"), "left")
+        .select(
+            "doc_id",
+            "registered_domain",
+            F.col("bd").isNotNull().alias("blocked_domain"),
+            blocked_path.alias("blocked_path"),
+            (F.col("bd").isNull() & ~blocked_path).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _repetition_oracle() -> str:
     from reviews_quality_check_spark.sources.planted import sql_planted_gopher
 

@@ -197,6 +197,13 @@ EXPECT: dict[str, dict] = {
         "plan_not_contains": "CartesianProduct",
         "read_cols_max": 2,                      # ts + value
     },
+    "url_blocklist_verdicts": {
+        # blocklist dim broadcast; path rule is a pure expression —
+        # scan reads only the URL-synth inputs
+        "plan_contains": "BroadcastHashJoin",
+        "plan_not_contains": "CartesianProduct",
+        "read_cols_max": 3,                      # doc_id, source, lang
+    },
     "suite_profile_verdicts": {
         # referential check joins the source dim broadcast; distinct /
         # p50 floors are (partition, value)-keyed aggregates — no
