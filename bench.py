@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "dup_ngram_spans",
     "semdedup_keep",
     "numeric_drift_psi_daily",
+    "quality_classifier_scores",
     "suite_profile_verdicts",
     "url_blocklist_verdicts",
 ]

@@ -382,3 +382,143 @@ def sql_perplexity_buckets(docs_sql: str, token_re: str) -> str:
     FROM per_doc JOIN cuts USING (lang)
     ORDER BY doc_id
     """
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+# hashed feature space for the classifier (Joulin et al. 2016 use 10M
+# bigram buckets at production scale; the bucket count only changes the
+# collision rate, not the plan shape)
+QC_BUCKETS = 4096
+
+
+def _md5_weight(tag: str, bucket: Column) -> Column:
+    """Deterministic uniform [-1, 1) weight for a feature bucket —
+    the md5-derived closed form already proven cross-engine by the LSH
+    hyperplanes (operators/ann.py): first 8 hex chars of
+    md5('<tag>:<bucket>') as an unsigned 32-bit int, scaled. DuckDB
+    twin: ('0x'||substr(md5('<tag>:'||b),1,8))::bigint/4294967295.0*2-1."""
+    key = F.concat(F.lit(tag + ":"), bucket.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967295.0) * 2 - 1
+    )
+
+
+def quality_classifier_scores(
+    docs: DataFrame, buckets: int = QC_BUCKETS, bias: float = 0.05
+) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2016,
+    "Bag of Tricks for Efficient Text Classification") — the
+    model-based quality-filter stage of a web-corpus pipeline (GPT-3
+    Appendix A and LLaMA both gate Common Crawl on a linear classifier
+    over hashed bag-of-ngram features; reference analyzers/quality.py
+    scores docs against corpus vocabulary with fixed weights, which
+    this generalizes to a learned-weight shape).
+
+    Features: word unigrams + bigrams, md5-hashed into ``buckets``
+    cells (hashing trick — no vocabulary table at all). Weights: a
+    FIXED md5-derived vector (deterministic stand-in for trained
+    weights; training is out of engine scope, serving is the engine's
+    job, same split as the B2 pluggable-inference scorer). Mean
+    pooling: logit = bias + mean over feature occurrences of
+    w[bucket]; prob = sigmoid(logit); keep = logit >= 0.
+
+    Zero-shuffle scoring: the weight is a closed-form expression of
+    the bucket id, so no model table is joined AT ALL — the whole
+    score pipeline is explode_outer -> per-row expressions -> one
+    doc_id hash-aggregate. explode_outer (not explode) keeps
+    zero-token docs as a single null-feature row, so the bias-only
+    branch needs NO second scan and NO corpus x corpus left join —
+    one scan, one shuffle total. At 10^12 rows this is the cheapest
+    possible shape (same cost class as gopher_quality_flags plus one
+    shuffle).
+
+    Float discipline: per-occurrence weights round(,6) -> exact
+    decimal(28,10) sum -> double -> one division by the integer count
+    -> + bias -> round(,6) = the logit BOTH engines agree on bitwise
+    (IEEE division is correctly rounded). sigmoid's exp() is libm-
+    dependent, so prob is round(,4)-with-epsilon DISPLAY output
+    computed from the already-rounded logit; keep compares the
+    bit-agreed logit, never the sigmoid.
+
+    Output: (doc_id, n_feats, logit, prob, keep). Zero-token docs
+    score the bare bias (no feature evidence).
+    """
+    tok = docs.select("doc_id", tokens("text").alias("toks"))
+    feats = tok.select(
+        "doc_id",
+        F.explode_outer(
+            F.concat(F.col("toks"), word_ngrams(F.col("toks"), 2))
+        ).alias("feat"),
+    )
+    # null feat (zero-token doc) -> null weight; count/sum both skip it
+    w = F.when(
+        F.col("feat").isNotNull(),
+        _md5_weight("qw", _md5_bucket(F.col("feat"), buckets)),
+    )
+    out = (
+        feats.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("w").alias("n_feats"),
+            F.round(
+                F.coalesce(
+                    _round6_decimal_sum(F.col("w")) / F.count("w"), F.lit(0.0)
+                )
+                + F.lit(bias) + F.lit(1e-9),
+                6,
+            ).alias("logit"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_feats",
+        "logit",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))) + F.lit(1e-9), 4
+        ).alias("prob"),
+        (F.col("logit") >= 0.0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def sql_quality_classifier_scores(
+    docs_sql: str, token_re: str, buckets: int = QC_BUCKETS, bias: float = 0.05
+) -> str:
+    """DuckDB twin of quality_classifier_scores over (doc_id, text)."""
+    bucket = sql_md5_bucket("feat", buckets)
+    w = (
+        f"(('0x' || substr(md5('qw:' || cast({bucket} AS varchar)), 1, 8))::bigint"
+        f" / 4294967295.0 * 2 - 1)"
+    )
+    bias_logit = round(bias + 1e-9, 6)
+    return f"""
+    WITH docs AS ({docs_sql}),
+    tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{token_re}') AS toks
+      FROM docs),
+    feats AS (
+      SELECT doc_id, unnest(toks) AS feat FROM tok
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS feat
+      FROM tok),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_feats,
+             round(cast(sum(cast(round({w}, 6) AS decimal(28,10))) AS double)
+                   / count(*) + {bias} + 1e-9, 6) AS logit
+      FROM feats GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id,
+             coalesce(p.n_feats, 0) AS n_feats,
+             coalesce(p.logit, {bias_logit}) AS logit
+      FROM docs d LEFT JOIN per_doc p USING (doc_id))
+    SELECT doc_id, n_feats, logit,
+           round(1.0 / (1.0 + exp(-logit)) + 1e-9, 4) AS prob,
+           (logit >= 0.0) AS keep
+    FROM scored
+    ORDER BY doc_id
+    """

@@ -5083,3 +5083,35 @@ def numeric_drift_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("string").alias("window_start"),
         F.round("drift", 4).alias("drift"),
     ).orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: hashed linear classifier
+# ---------------------------------------------------------------------------
+
+def _qc_oracle() -> str:
+    from reviews_quality_check_spark.operators.weighting import (
+        sql_quality_classifier_scores,
+    )
+
+    return sql_quality_classifier_scores(
+        "SELECT doc_id, text FROM documents", SQL_TOKEN_RE
+    )
+
+
+@_register("quality_classifier_scores", oracle=_qc_oracle())
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier (Joulin et al.
+    2016) — the model-based quality-gate stage of a web-corpus
+    pipeline (GPT-3 Appendix A / LLaMA gate Common Crawl on exactly
+    this shape; extends reference analyzers/quality.py's fixed-weight
+    vocabulary scoring to a hashed learned-weight serving path). The
+    weight vector is a fixed md5-derived closed form, so scoring is
+    pure per-row expressions + ONE doc_id aggregate — no model join,
+    no corpus-sized shuffle beyond the aggregate. keep compares the
+    bit-agreed 6dp logit; sigmoid prob is display-only 4dp."""
+    from reviews_quality_check_spark.operators.weighting import (
+        quality_classifier_scores as op,
+    )
+
+    return op(_t(spark, sf_dir, "documents").select("doc_id", "text"))

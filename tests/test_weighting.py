@@ -169,3 +169,65 @@ def test_dup_ngram_spans_within_doc_repeat_not_counted(spark):
     rows = [(0, run + " " + run, "en", "a"), (1, "other text entirely", "en", "a")]
     out = {r.doc_id: r for r in dup_ngram_spans(_docs(spark, rows)).collect()}
     assert out[0].n_dup_tokens == 0
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_scores — hand-computed math + branch coverage
+# ---------------------------------------------------------------------------
+
+def test_quality_classifier_hand_computed_single_token(spark):
+    import hashlib
+
+    from reviews_quality_check_spark.operators.weighting import (
+        QC_BUCKETS,
+        quality_classifier_scores,
+    )
+
+    rows = [(0, "cat", "en", "a"), (1, "", "en", "a")]
+    out = {
+        r.doc_id: r
+        for r in quality_classifier_scores(_docs(spark, rows), bias=0.05).collect()
+    }
+    # doc 0: one unigram, no bigram -> logit = round(w + 0.05 + 1e-9, 6)
+    bucket = int(hashlib.md5(b"cat").hexdigest()[:8], 16) % QC_BUCKETS
+    w = int(hashlib.md5(f"qw:{bucket}".encode()).hexdigest()[:8], 16) / 4294967295.0 * 2 - 1
+    # mirror the engine: round6 -> decimal sum (exact on one term) -> /1
+    expected_logit = round(round(w, 6) / 1 + 0.05 + 1e-9, 6)
+    assert out[0].n_feats == 1
+    assert out[0].logit == pytest.approx(expected_logit, abs=1e-12)
+    assert out[0].keep == (expected_logit >= 0.0)
+    assert out[0].prob == pytest.approx(
+        round(1.0 / (1.0 + math.exp(-expected_logit)) + 1e-9, 4), abs=1e-9
+    )
+    # doc 1: zero features -> bare bias
+    assert out[1].n_feats == 0
+    assert out[1].logit == round(0.05 + 1e-9, 6)
+    assert out[1].keep is True
+    assert out[1].prob == pytest.approx(
+        round(1.0 / (1.0 + math.exp(-out[1].logit)) + 1e-9, 4), abs=1e-9
+    )
+
+
+def test_quality_classifier_mean_pooling_and_bigrams(spark):
+    from reviews_quality_check_spark.operators.weighting import (
+        quality_classifier_scores,
+    )
+
+    # n tokens -> n unigrams + (n-1) bigrams features
+    rows = [(0, "a b c", "en", "x"), (1, "a b c a b c a b c", "en", "x")]
+    out = {
+        r.doc_id: r for r in quality_classifier_scores(_docs(spark, rows)).collect()
+    }
+    assert out[0].n_feats == 5  # 3 + 2
+    assert out[1].n_feats == 17  # 9 + 8
+    # mean pooling: logit bounded regardless of doc length
+    assert abs(out[1].logit) <= 1.0 + 0.05 + 1e-6
+
+
+def test_quality_classifier_both_branches_on_corpus(spark):
+    from reviews_quality_check_spark.queries import QUERIES
+
+    out = QUERIES["quality_classifier_scores"](spark, "/root/testdata/sf0.001")
+    agg = out.groupBy("keep").count().collect()
+    kept = {r.keep: r["count"] for r in agg}
+    assert kept.get(True, 0) > 0 and kept.get(False, 0) > 0
