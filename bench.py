@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "semdedup_keep",
     "numeric_drift_psi_daily",
     "quality_classifier_scores",
+    "bloom_decontamination_hits",
     "suite_profile_verdicts",
     "url_blocklist_verdicts",
 ]

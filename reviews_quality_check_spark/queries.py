@@ -5115,3 +5115,53 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return op(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _bloom_decontam_oracle() -> str:
+    from reviews_quality_check_spark.operators.bloom import (
+        sql_bloom_decontamination,
+    )
+    from reviews_quality_check_spark.sources.planted import sql_planted_documents
+
+    spans = ", ".join(f"({i}, '{t}')" for i, t in _decontam_spans())
+    return sql_bloom_decontamination(
+        corpus_sql=(
+            "SELECT doc_id, text FROM documents "
+            f"UNION ALL SELECT doc_id, text FROM {sql_planted_documents()}"
+        ),
+        tests_sql=f"SELECT * FROM (VALUES {spans}) v(test_id, text)",
+        sql_tokens_of_text=sql_tokens("text"),
+    )
+
+
+@_register("bloom_decontamination_hits", oracle=_bloom_decontam_oracle())
+def bloom_decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination (GPT-3 Appendix C
+    runs exactly this with 13-gram blooms) — the scale path of
+    decontamination_hits for eval sets too large to broadcast raw: an
+    m-bit / k-hash bloom bitmap packed into 62-bit words by bit_or
+    hash-aggregate, broadcast; corpus shingles probe the bitmap and
+    only bloom candidates reach the exact-confirm join. The filter is
+    md5-derived end-to-end, so its FALSE POSITIVES reproduce
+    bit-identically in the oracle — the query certifies the FP
+    accounting (m deliberately small at 1024 bits so real FPs occur:
+    planted spans give exact hits, the corpus supplies FP-only docs)."""
+    from reviews_quality_check_spark.operators.bloom import bloom_decontamination
+    from reviews_quality_check_spark.sources.planted import planted_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(planted_documents(spark).select("doc_id", "text"))
+    tests = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("test_id"),
+                        F.lit(t).alias("text"),
+                    )
+                    for i, t in _decontam_spans()
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return bloom_decontamination(corpus, tests)
