@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "numeric_drift_psi_daily",
     "quality_classifier_scores",
     "bloom_decontamination_hits",
+    "lang_temperature_sample",
     "suite_profile_verdicts",
     "url_blocklist_verdicts",
 ]

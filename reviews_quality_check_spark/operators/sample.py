@@ -402,3 +402,137 @@ def budget_reservoir(
         )
         .filter(F.col("__cum") <= budget)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based multilingual rebalancing (XLM-R / mBERT style)
+# ---------------------------------------------------------------------------
+
+def lang_temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    budget_frac: float = 0.8,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened language rebalancing (Conneau et al. 2020
+    XLM-R §3.1; Devlin et al. 2019 mBERT appendix): sample languages
+    with probability q_l ∝ p_l^alpha instead of the raw corpus share
+    p_l, so head languages are downsampled and tail languages keep
+    relatively more mass.
+
+    Deterministic downsample-only realization: per-language keep rate
+    r_l = min(1, q_l * budget / n_l) with budget = floor(budget_frac *
+    N); each doc keeps iff its md5-uniform u(doc) < r_l. Rates > 1
+    (tail languages whose temperature share exceeds their size) cap at
+    1 — the upsample remainder is source_upsample's job (integer
+    replication), keeping this operator a pure filter.
+
+    Output (one row per language — aggregate, driver-small):
+    (lang, n_docs, q_temp, rate, n_sampled).
+
+    Scale: two pruned map-side-combine passes over (id, lang) — the
+    count pass and the sample pass — plus a |langs|-row broadcast. No
+    window, no skew exposure: hot languages cost two scans of flat
+    per-row expressions. Float discipline: q_temp comes from
+    pow(n_l, alpha) per language (integer base, one pow) summed with
+    the round6/decimal pattern, one division; rate rounds to 6dp
+    before the keep compare so both engines gate on the same literal.
+    """
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(
+            F.round(F.pow(F.col("n_docs").cast("double"), F.lit(alpha)), 6).cast(
+                "decimal(28,10)"
+            )
+        )
+        .cast("double")
+        .alias("pow_sum"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            "n_docs",
+            F.round(
+                F.round(F.pow(F.col("n_docs").cast("double"), F.lit(alpha)), 6)
+                / F.col("pow_sum")
+                + F.lit(1e-9),
+                6,
+            ).alias("q_temp"),
+            F.floor(F.col("n_total") * F.lit(budget_frac)).alias("budget"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "q_temp",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("q_temp") * F.col("budget") / F.col("n_docs"),
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("rate"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lts:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    sampled = (
+        docs.select(id_col, group_col)
+        .join(F.broadcast(rates), group_col)
+        .select(group_col, F.when(u < F.col("rate"), 1).otherwise(0).alias("keep"))
+        .groupBy(group_col)
+        .agg(F.sum("keep").alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, group_col)
+        .select(group_col, "n_docs", "q_temp", "rate", "n_sampled")
+        .orderBy(group_col)
+    )
+
+
+def sql_lang_temperature_sample(
+    docs_sql: str,
+    alpha: float = 0.3,
+    budget_frac: float = 0.8,
+) -> str:
+    """DuckDB twin over a (doc_id, lang) relation."""
+    return f"""
+    WITH docs AS ({docs_sql}),
+    counts AS (SELECT lang, count(*) AS n_docs FROM docs GROUP BY lang),
+    totals AS (
+      SELECT sum(n_docs) AS n_total,
+             cast(sum(cast(round(pow(cast(n_docs AS double), {alpha}), 6)
+                           AS decimal(28,10))) AS double) AS pow_sum
+      FROM counts),
+    rates AS (
+      SELECT lang, n_docs,
+             round(round(pow(cast(n_docs AS double), {alpha}), 6) / pow_sum
+                   + 1e-9, 6) AS q_temp,
+             floor(n_total * {budget_frac}) AS budget
+      FROM counts CROSS JOIN totals),
+    rates2 AS (
+      SELECT lang, n_docs, q_temp,
+             round(least(1.0, q_temp * budget / n_docs) + 1e-9, 6) AS rate
+      FROM rates),
+    sampled AS (
+      SELECT d.lang,
+             cast(sum(CASE WHEN ('0x' || substr(md5('lts:' || cast(doc_id AS varchar)), 1, 8))::bigint
+                                / 4294967296.0 < r.rate
+                           THEN 1 ELSE 0 END) AS bigint) AS n_sampled
+      FROM docs d JOIN rates2 r USING (lang)
+      GROUP BY d.lang)
+    SELECT lang, n_docs, q_temp, rate, n_sampled
+    FROM rates2 JOIN sampled USING (lang)
+    ORDER BY lang
+    """

@@ -5165,3 +5165,30 @@ def bloom_decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     return bloom_decontamination(corpus, tests)
+
+
+def _lang_temp_oracle() -> str:
+    from reviews_quality_check_spark.operators.sample import (
+        sql_lang_temperature_sample,
+    )
+
+    return sql_lang_temperature_sample("SELECT doc_id, lang FROM documents")
+
+
+@_register("lang_temperature_sample", oracle=_lang_temp_oracle())
+def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language rebalancing (XLM-R §3.1 /
+    mBERT): q_l ∝ p_l^0.3 sampling shares, realized as a deterministic
+    downsample-only md5-threshold filter with budget = 0.8N; tail
+    languages whose temperature share exceeds their size cap at
+    rate=1 (the upsample remainder is source_upsample's integer
+    replication). Output is the per-language aggregate (n_docs,
+    q_temp, rate, n_sampled) — both the capped and fractional-rate
+    branches are live on the skewed corpus (en 44% head, fr 13%
+    tail at sf0.01). Two pruned map-side-combine passes, |langs|-row
+    broadcast, no windows — hot languages cost flat per-row work."""
+    from reviews_quality_check_spark.operators.sample import (
+        lang_temperature_sample as op,
+    )
+
+    return op(_t(spark, sf_dir, "documents").select("doc_id", "lang"))

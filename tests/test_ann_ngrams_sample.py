@@ -632,3 +632,46 @@ def test_budget_reservoir_matches_single_window(spark):
             ).collect()
         }
         assert got == expected, target
+
+
+# ---------------------------------------------------------------------------
+# lang_temperature_sample — hand-computed rates
+# ---------------------------------------------------------------------------
+
+def test_lang_temperature_rates_hand_computed(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.sample import (
+        lang_temperature_sample,
+    )
+
+    # 8 'en' docs, 2 'fr' docs; alpha=0.5, budget=floor(0.8*10)=8
+    rows = [(i, "en") for i in range(8)] + [(100, "fr"), (101, "fr")]
+    arr = F.array(
+        *[
+            F.struct(F.lit(i).cast("long").alias("doc_id"), F.lit(l).alias("lang"))
+            for i, l in rows
+        ]
+    )
+    docs = spark.range(1).select(F.explode(arr).alias("r")).select("r.*")
+    out = {r.lang: r for r in lang_temperature_sample(docs, alpha=0.5).collect()}
+    pow_sum = round(math.sqrt(8), 6) + round(math.sqrt(2), 6)
+    q_en = round(round(math.sqrt(8), 6) / pow_sum + 1e-9, 6)
+    q_fr = round(round(math.sqrt(2), 6) / pow_sum + 1e-9, 6)
+    assert out["en"].q_temp == pytest.approx(q_en, abs=1e-12)
+    assert out["fr"].q_temp == pytest.approx(q_fr, abs=1e-12)
+    # en: rate = q*8/8 < 1 (downsampled head); fr: q*8/2 = 2.67 -> cap 1
+    assert out["en"].rate == pytest.approx(round(q_en + 1e-9, 6), abs=1e-12)
+    assert out["fr"].rate == 1.0
+    assert out["fr"].n_sampled == 2  # rate 1 keeps everything
+    # en keep-set matches the hand md5 threshold
+    expected = sum(
+        1
+        for i in range(8)
+        if int(hashlib.md5(f"lts:{i}".encode()).hexdigest()[:8], 16) / 4294967296.0
+        < out["en"].rate
+    )
+    assert out["en"].n_sampled == expected
