@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "quality_classifier_scores",
     "bloom_decontamination_hits",
     "lang_temperature_sample",
+    "doc_chunks",
     "suite_profile_verdicts",
     "url_blocklist_verdicts",
 ]

@@ -536,3 +536,99 @@ def sql_lang_temperature_sample(
     FROM rates2 JOIN sampled USING (lang)
     ORDER BY lang
     """
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (training-sequence preparation)
+# ---------------------------------------------------------------------------
+
+def doc_chunks(
+    docs: DataFrame, chunk_len: int = 16, stride: int = 12
+) -> DataFrame:
+    """Split each document's token stream into overlapping fixed-width
+    chunks — the sequence-preparation step between cleaning and
+    packing in a pretraining pipeline (GPT-2/BERT-style sliding
+    windows: chunk i covers tokens [1 + i*stride, 1 + i*stride +
+    chunk_len - 1], the final chunk is the possibly-shorter tail, and
+    a doc with <= chunk_len tokens yields exactly one chunk).
+
+    n_chunks = 1 + ceil(max(n - chunk_len, 0) / stride), computed in
+    integer arithmetic ((n - L + s - 1) DIV s) so both engines agree
+    exactly. Zero-token docs yield no rows.
+
+    Output: (doc_id, chunk_idx, start_tok, n_tokens, chunk_md5) where
+    chunk_md5 fingerprints the space-joined chunk — the id the
+    packed-example / dedup stages key on downstream.
+
+    Scale: one scan, explode(n_chunks) map-only — no shuffle at all
+    (the ORDER BY is presentation; the driver canonicalizes). Chunk
+    count per doc is bounded by n/stride, so no row blows up beyond
+    its own token count; stride < chunk_len duplicates the overlap
+    tokens by design (factor chunk_len/stride).
+    """
+    from reviews_quality_check_spark.functions.text import tokens
+
+    L, S = int(chunk_len), int(stride)
+    if not 1 <= S <= L:
+        # stride > chunk_len leaves token gaps and can push a chunk
+        # start past the end of the doc (negative slice length)
+        raise ValueError(f"require 1 <= stride <= chunk_len, got {S} > {L}")
+    tok = docs.select("doc_id", tokens("text").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    tok = tok.filter(F.col("n") > 0).withColumn(
+        "n_chunks",
+        F.lit(1)
+        + F.expr(f"(greatest(n - {L}, 0) + {S} - 1) DIV {S}").cast("long"),
+    )
+    ch = tok.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        (F.lit(1) + F.col("i") * S).cast("long").alias("start_tok"),
+        F.slice(
+            F.col("t"),
+            F.lit(1) + F.col("i") * S,
+            F.least(F.lit(L), F.col("n") - F.col("i") * S),
+        ).alias("chunk"),
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def sql_doc_chunks(
+    docs_sql: str, sql_tokens_of_text: str, chunk_len: int = 16, stride: int = 12
+) -> str:
+    """DuckDB twin over a (doc_id, text) relation."""
+    L, S = int(chunk_len), int(stride)
+    return f"""
+    WITH docs AS ({docs_sql}),
+    tok AS (
+      SELECT doc_id, t, len(t) AS n FROM
+        (SELECT doc_id, {sql_tokens_of_text} AS t FROM docs)
+      WHERE len(t) > 0),
+    nch AS (
+      SELECT doc_id, t, n,
+             1 + (greatest(n - {L}, 0) + {S} - 1) // {S} AS n_chunks
+      FROM tok),
+    ch AS (
+      SELECT doc_id, unnest(range(0, n_chunks)) AS i, t, n FROM nch)
+    SELECT doc_id,
+           i AS chunk_idx,
+           1 + i * {S} AS start_tok,
+           least({L}, n - i * {S}) AS n_tokens,
+           md5(list_aggregate(list_slice(t, 1 + i * {S},
+                                         least(i * {S} + {L}, n)), 'string_agg', ' '))
+               AS chunk_md5
+    FROM ch
+    ORDER BY doc_id, chunk_idx
+    """

@@ -5192,3 +5192,24 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return op(_t(spark, sf_dir, "documents").select("doc_id", "lang"))
+
+
+def _doc_chunks_oracle() -> str:
+    from reviews_quality_check_spark.operators.sample import sql_doc_chunks
+
+    return sql_doc_chunks(
+        "SELECT doc_id, text FROM documents", sql_tokens("text")
+    )
+
+
+@_register("doc_chunks", oracle=_doc_chunks_oracle())
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of each document's token stream into
+    overlapping fixed-width training sequences (GPT-2/BERT window
+    prep; chunk_len=16, stride=12 so the 8-40-word corpus yields
+    single-chunk, multi-chunk, and short-tail cases). chunk_md5
+    fingerprints each chunk for the downstream packing/dedup stages.
+    One scan, explode map-only — zero shuffles."""
+    from reviews_quality_check_spark.operators.sample import doc_chunks as op
+
+    return op(_t(spark, sf_dir, "documents").select("doc_id", "text"))

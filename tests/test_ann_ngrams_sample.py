@@ -675,3 +675,48 @@ def test_lang_temperature_rates_hand_computed(spark):
         < out["en"].rate
     )
     assert out["en"].n_sampled == expected
+
+
+def test_doc_chunks_hand_computed(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.sample import doc_chunks
+
+    words = [f"w{i}" for i in range(20)]
+    rows = [
+        (0, " ".join(words)),        # n=20, L=16, S=12 -> 2 chunks
+        (1, "a b c"),                # n<=L -> single chunk
+        (2, ""),                      # zero tokens -> no rows
+        (3, " ".join(words[:16])),   # exactly L -> single chunk
+    ]
+    arr = F.array(
+        *[
+            F.struct(F.lit(i).cast("long").alias("doc_id"), F.lit(t).alias("text"))
+            for i, t in rows
+        ]
+    )
+    docs = spark.range(1).select(F.explode(arr).alias("r")).select("r.*")
+    out = doc_chunks(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_tokens == 3
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 16
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_idx)
+    assert len(c0) == 2
+    assert (c0[0].start_tok, c0[0].n_tokens) == (1, 16)
+    assert (c0[1].start_tok, c0[1].n_tokens) == (13, 8)  # tail: tokens 13..20
+    assert c0[1].chunk_md5 == hashlib.md5(" ".join(words[12:20]).encode()).hexdigest()
+
+
+def test_doc_chunks_rejects_gappy_stride(spark):
+    from pyspark.sql import functions as F
+
+    from reviews_quality_check_spark.operators.sample import doc_chunks
+
+    docs = spark.range(1).select(F.col("id").alias("doc_id"), F.lit("a b").alias("text"))
+    with pytest.raises(ValueError):
+        doc_chunks(docs, chunk_len=8, stride=9)
