@@ -226,6 +226,33 @@ EXPECT: dict[str, dict] = {
         "plan_not_contains": "Exchange SinglePartition",
         "read_cols_max": 1,                      # doc_id only
     },
+    "quality_classifier_scores": {
+        # weights are closed-form md5 expressions of the bucket —
+        # NO model join at all; one scan, one doc_id aggregate
+        "plan_not_contains": "Join",
+        "read_cols_max": 2,                      # doc_id + text
+        "max_exchanges": 2,                      # agg + presentation sort
+    },
+    "bloom_decontamination_hits": {
+        # bitmap words + test shingles both broadcast; corpus side
+        # streams through — no cartesian, no shuffled join
+        "plan_contains": "BroadcastHashJoin",
+        "plan_not_contains": "CartesianProduct|SortMergeJoin",
+        "read_cols_max": 2,
+    },
+    "lang_temperature_sample": {
+        # |langs|-row rate table broadcast; no window over the corpus
+        "plan_contains": "BroadcastHashJoin",
+        "plan_not_contains": "Window|CartesianProduct",
+        "read_cols_max": 2,                      # doc_id + lang
+    },
+    "doc_chunks": {
+        # explode map-only: zero shuffles beyond the presentation sort
+        "plan_contains": "Generate explode",
+        "plan_not_contains": "Join",
+        "read_cols_max": 2,
+        "max_exchanges": 1,                      # range sort only
+    },
 }
 
 
