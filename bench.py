@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "bloom_decontamination_hits",
     "lang_temperature_sample",
     "doc_chunks",
+    "suite_stream_verdicts",
     "suite_profile_verdicts",
     "url_blocklist_verdicts",
 ]

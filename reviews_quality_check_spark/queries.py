@@ -5213,3 +5213,62 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reviews_quality_check_spark.operators.sample import doc_chunks as op
 
     return op(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@_register(
+    "suite_stream_verdicts",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('day', ts) AS w,
+             CASE WHEN event_type IN ('click','view','purchase','signup')
+                  THEN 0 ELSE 1 END AS v_set,
+             CASE WHEN value >= 0.0 AND value <= 400.0 THEN 0 ELSE 1 END AS v_rng
+      FROM events),
+    agg AS (
+      SELECT w, count(*) AS n_rows,
+             cast(sum(v_set) AS bigint) AS s_set,
+             cast(sum(v_rng) AS bigint) AS s_rng
+      FROM e GROUP BY w),
+    un AS (
+      SELECT w, 'in_set_event_type' AS check_name, n_rows,
+             s_set AS violation_count, 0.1975 AS max_rate FROM agg
+      UNION ALL
+      SELECT w, 'in_range_value' AS check_name, n_rows,
+             s_rng AS violation_count, 0.0 AS max_rate FROM agg)
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           check_name, n_rows, violation_count,
+           (violation_count <= max_rate * n_rows) AS passed
+    FROM un ORDER BY window_start, check_name
+    """,
+)
+def suite_stream_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming suite runner
+    (streaming/suite_stream.validate_stream — identical code path, the
+    windowed groupBy without state): daily event-time windows, two
+    RowChecks whose tolerated rates straddle the corpus's actual
+    per-window violation rates (event_type membership at 19.75% vs the
+    ~19.8% median 'error' share; value range strict) so pass AND fail
+    verdicts occur at every sf. The
+    streaming run's exactly-once/watermark semantics are pytest-gated
+    (tests/test_suite_stream.py asserts stream == this batch twin);
+    this registry row value-certifies the verdict arithmetic."""
+    import reviews_quality_check_spark.plans.checks as C
+    from reviews_quality_check_spark.streaming.suite_stream import validate_stream
+
+    e = _t(spark, sf_dir, "events")
+    s = C.Suite(name="events_stream_suite", row_key="event_id")
+    s.add(
+        C.in_set(
+            "event_type", ("click", "view", "purchase", "signup"),
+            max_rate=0.1975,
+        )
+    )
+    s.add(C.in_range("value", 0.0, 400.0))
+    out = validate_stream(e, s, ts_col="ts", window="1 day")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "check_name",
+        "n_rows",
+        "violation_count",
+        "passed",
+    ).orderBy("window_start", "check_name")
