@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "lang_temperature_sample",
     "doc_chunks",
     "suite_stream_verdicts",
+    "embedding_quality_stats",
     "suite_profile_verdicts",
     "url_blocklist_verdicts",
 ]

@@ -5272,3 +5272,99 @@ def suite_stream_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violation_count",
         "passed",
     ).orderBy("window_start", "check_name")
+
+
+@_register(
+    "embedding_quality_stats",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT -1, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::FLOAT[]
+      UNION ALL
+      SELECT -2, [1.0, 2.0, 3.0]::FLOAT[]
+      UNION ALL
+      SELECT -3, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 'nan'::FLOAT]::FLOAT[]),
+    per AS (
+      SELECT vec_id, len(embedding) AS dim,
+             sqrt(list_reduce(list_transform(embedding,
+                    v -> cast(v as double) * cast(v as double)),
+                  (x, y) -> x + y)) AS nrm
+      FROM vecs),
+    flags AS (
+      SELECT vec_id, dim, nrm,
+             (dim != 64) AS bad_dim,
+             (NOT dim != 64) AND isnan(nrm) AS has_nan,
+             (NOT dim != 64) AND NOT isnan(nrm) AND nrm = 0.0 AS is_zero
+      FROM per)
+    SELECT count(*) AS n_vecs,
+           cast(sum(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS bigint) AS bad_dim_vecs,
+           cast(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS bigint) AS nan_vecs,
+           cast(sum(CASE WHEN is_zero THEN 1 ELSE 0 END) AS bigint) AS zero_vecs,
+           round(min(CASE WHEN NOT bad_dim AND NOT has_nan AND NOT is_zero
+                          THEN round(nrm, 6) END) + 1e-9, 4) AS norm_min,
+           round(max(CASE WHEN NOT bad_dim AND NOT has_nan AND NOT is_zero
+                          THEN round(nrm, 6) END) + 1e-9, 4) AS norm_max,
+           round(cast(sum(CASE WHEN NOT bad_dim AND NOT has_nan AND NOT is_zero
+                               THEN cast(round(nrm, 6) AS decimal(28,10)) END)
+                      AS double)
+                 / sum(CASE WHEN NOT bad_dim AND NOT has_nan AND NOT is_zero
+                            THEN 1 ELSE 0 END) + 1e-9, 4) AS norm_mean
+    FROM flags
+    """,
+)
+def embedding_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column hygiene profile — the profile-check family for
+    the vector modality: dimension constancy, NaN contamination,
+    zero vectors (degenerate for cosine), and the healthy-vector norm
+    envelope (min/max/mean through the round6/decimal/round4
+    pipeline). Planted defect rows (-1 zero-vec, -2 wrong-dim, -3
+    NaN) make every defect counter non-vacuous; the corpus itself is
+    clean at every sf. Scale: one scan, per-row HOF norm (the
+    ann.l2_norm closed form already oracle-proven bit-identical), one
+    global aggregate."""
+    from reviews_quality_check_spark.operators.ann import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    f32 = lambda vals: F.array(*[F.lit(v).cast("float") for v in vals])  # noqa: E731
+    planted = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(-1).cast("long").alias("vec_id"),
+                         f32([0.0] * 64).alias("embedding")),
+                F.struct(F.lit(-2).cast("long").alias("vec_id"),
+                         f32([1.0, 2.0, 3.0]).alias("embedding")),
+                F.struct(F.lit(-3).cast("long").alias("vec_id"),
+                         f32([1.0] * 63 + [float("nan")]).alias("embedding")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    per = e.unionByName(planted).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    flags = per.select(
+        (F.col("dim") != 64).alias("bad_dim"),
+        ((~(F.col("dim") != 64)) & F.isnan("nrm")).alias("has_nan"),
+        (
+            (~(F.col("dim") != 64)) & (~F.isnan("nrm")) & (F.col("nrm") == 0.0)
+        ).alias("is_zero"),
+        F.col("nrm"),
+    )
+    healthy = (~F.col("bad_dim")) & (~F.col("has_nan")) & (~F.col("is_zero"))
+    h6 = F.when(healthy, F.round(F.col("nrm"), 6))
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("bad_dim"), 1).otherwise(0)).alias("bad_dim_vecs"),
+        F.sum(F.when(F.col("has_nan"), 1).otherwise(0)).alias("nan_vecs"),
+        F.sum(F.when(F.col("is_zero"), 1).otherwise(0)).alias("zero_vecs"),
+        F.round(F.min(h6) + F.lit(1e-9), 4).alias("norm_min"),
+        F.round(F.max(h6) + F.lit(1e-9), 4).alias("norm_max"),
+        F.round(
+            F.sum(h6.cast("decimal(28,10)")).cast("double")
+            / F.sum(F.when(healthy, 1).otherwise(0))
+            + F.lit(1e-9),
+            4,
+        ).alias("norm_mean"),
+    )
