@@ -5368,3 +5368,235 @@ def embedding_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("norm_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5 late additions: crawl-hygiene trio (canonical-url dedup, snapshot
+# churn, per-language adaptive floors)
+# ---------------------------------------------------------------------------
+
+# Variant moduli are chosen COPRIME to the 20-way base (3, 7, 11, 13) so
+# every hazard axis varies WITHIN a canonical group instead of being a
+# function of the base (4 and 5 divide 20 — a trap caught by the vacuity
+# check: with %4/%5 the host variants never split a group).
+_CANON_URL_SQL_SYNTH = (
+    "'https://'"
+    " || (CASE WHEN doc_id % 7 = 2 THEN upper((CASE WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END)"
+    "               || 'example' || cast(doc_id % 20 % 5 as varchar) || '.com')"
+    "          ELSE (CASE WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END)"
+    "               || 'example' || cast(doc_id % 20 % 5 as varchar) || '.com' END)"
+    " || (CASE WHEN doc_id % 6 = 2 THEN ':443' ELSE '' END)"
+    " || '/a/' || substr(md5(cast(doc_id % 20 as varchar)), 1, 6)"
+    " || '/p' || cast(doc_id % 20 as varchar) || '.html'"
+    " || '?'"
+    " || (CASE WHEN doc_id % 13 = 0 THEN 'utm_source=feed&' ELSE '' END)"
+    " || (CASE WHEN doc_id % 11 < 5 THEN 'id=' || cast(doc_id % 20 as varchar) || '&v=1'"
+    "          ELSE 'v=1&id=' || cast(doc_id % 20 as varchar) END)"
+    " || (CASE WHEN doc_id % 7 = 3 THEN '#sec' || cast(doc_id % 3 as varchar) ELSE '' END)"
+)
+
+
+def _canon_url_synth() -> Column:
+    """Raw-URL synthesis with every canonicalization hazard planted:
+    host case variants, www vs bare, default :443 port, utm tracking
+    params, shuffled query-param order, fragments. Deterministic from
+    doc_id so the DuckDB twin builds byte-identical strings."""
+    base = F.pmod("doc_id", F.lit(20))
+    bh = F.concat(
+        F.when(F.pmod("doc_id", F.lit(3)) == 1, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("example"), F.pmod(base, F.lit(5)).cast("string"), F.lit(".com"),
+    )
+    host = F.when(F.pmod("doc_id", F.lit(7)) == 2, F.upper(bh)).otherwise(bh)
+    p1 = F.concat(F.lit("id="), base.cast("string"))
+    return F.concat(
+        F.lit("https://"),
+        host,
+        F.when(F.pmod("doc_id", F.lit(6)) == 2, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/a/"),
+        F.substring(F.md5(base.cast("string")), 1, 6),
+        F.lit("/p"), base.cast("string"), F.lit(".html"),
+        F.lit("?"),
+        F.when(F.pmod("doc_id", F.lit(13)) == 0, F.lit("utm_source=feed&")).otherwise(F.lit("")),
+        F.when(
+            F.pmod("doc_id", F.lit(11)) < 5, F.concat(p1, F.lit("&v=1"))
+        ).otherwise(F.concat(F.lit("v=1&"), p1)),
+        F.when(
+            F.pmod("doc_id", F.lit(7)) == 3,
+            F.concat(F.lit("#sec"), F.pmod("doc_id", F.lit(3)).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _canon_dupes_oracle() -> str:
+    from reviews_quality_check_spark.functions.url import sql_url_exprs
+
+    canon = sql_url_exprs("url")["canonical"]
+    return f"""
+    WITH u AS (SELECT doc_id, {_CANON_URL_SQL_SYNTH} AS url FROM documents),
+    c AS (SELECT url, {canon} AS canonical_url FROM u)
+    SELECT canonical_url,
+           count(*) AS n_docs,
+           count(DISTINCT url) AS n_raw_variants
+    FROM c GROUP BY canonical_url ORDER BY canonical_url
+    """
+
+
+@_register("url_canonical_dupes", oracle=_canon_dupes_oracle())
+def url_canonical_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL exact dedup — the first dedup stage of every crawl
+    pipeline: normalize the url key (case, default port, fragment,
+    tracking params, param order; functions/url.canonical_url) and
+    collapse raw variants that name the same resource. Raw URLs are
+    synthesized deterministically from doc_id with every hazard class
+    planted, so each canonicalization rule has live positives at every
+    sf. Scale: canonicalization is pure per-row expression work on the
+    scan (zero pre-shuffle); the collapse is one map-side-combinable
+    groupBy on the canonical key — the same salted-aggregate escape
+    hatch as exact_dup_groups applies if one canonical key goes hot.
+    Reference parity: utils/data_quality.py keys duplicates on
+    normalized review ids; this lifts that keying to the url column of
+    the north-star page table."""
+    from reviews_quality_check_spark.functions.url import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    u = d.select(_canon_url_synth().alias("url"))
+    c = u.select("url", canonical_url("url").alias("canonical_url"))
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_variants"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def _snapshot_churn_oracle() -> str:
+    return """
+    WITH u AS (
+      SELECT doc_id, lang, text,
+             'https://' || source || '.com/d/' || md5(cast(doc_id as varchar)) AS url
+      FROM documents
+    ),
+    a AS (SELECT url, lang, md5(text) AS h FROM u WHERE doc_id % 10 < 8),
+    b AS (SELECT url, lang,
+                 md5(text || (CASE WHEN doc_id % 11 = 0 THEN '|v2' ELSE '' END)) AS h
+          FROM u WHERE doc_id % 10 >= 2)
+    SELECT coalesce(a.lang, b.lang) AS lang,
+           (CASE WHEN a.url IS NULL THEN 'added'
+                 WHEN b.url IS NULL THEN 'removed'
+                 WHEN a.h = b.h THEN 'unchanged'
+                 ELSE 'changed' END) AS status,
+           count(*) AS n_urls
+    FROM a FULL OUTER JOIN b ON a.url = b.url
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@_register("snapshot_churn", oracle=_snapshot_churn_oracle())
+def snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot churn audit — validating a NEW crawl snapshot
+    against the previous one (the warc_ts axis of the north-star
+    table): per language, how many urls were added, removed, kept
+    byte-identical, or changed content (md5 of extracted text). Two
+    deterministic snapshot views of the documents table overlap 60%
+    with planted content drift (doc_id%11) so all four statuses are
+    live at every sf. Scale: one full-outer shuffle join keyed on url
+    (AQE-splittable; url keys are unique per side so no skew), then a
+    map-side-combinable count — the natural delta-validation shape
+    when both snapshots are url-partitioned Iceberg tables, where this
+    compiles to a co-located sort-merge join."""
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".com/d/"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", url.alias("url"))
+    a = d.filter(F.pmod("doc_id", F.lit(10)) < 8).select(
+        "url", "lang", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    b = d.filter(F.pmod("doc_id", F.lit(10)) >= 2).select(
+        "url",
+        "lang",
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(F.pmod("doc_id", F.lit(11)) == 0, F.lit("|v2")).otherwise(
+                    F.lit("")
+                ),
+            ).cast("binary")
+        ).alias("h"),
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.url") == F.col("b.url"), "full_outer")
+    status = (
+        F.when(F.col("a.url").isNull(), F.lit("added"))
+        .when(F.col("b.url").isNull(), F.lit("removed"))
+        .when(F.col("a.h") == F.col("b.h"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.lang"), F.col("b.lang")).alias("lang"),
+            status.alias("status"),
+        )
+        .groupBy("lang", "status")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("lang", "status")
+    )
+
+
+@_register(
+    "lang_adaptive_floor",
+    oracle="""
+    WITH g AS (
+      SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT lang, n_chars,
+             sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS total
+      FROM g
+    )
+    SELECT lang,
+           min(n_chars) AS p10_floor,
+           cast(arg_min(cum, n_chars) AS BIGINT) AS n_at_or_below,
+           cast(min(total) AS BIGINT) AS n_total
+    FROM w WHERE 10 * cum >= total
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def lang_adaptive_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality floor (CCNet/RefinedWeb-style):
+    instead of one global min-length cutoff, each language gets its own
+    bottom-decile threshold — p10 here defined integer-exactly as the
+    smallest n_chars whose cumulative count reaches 10% of the
+    language's docs (10*cum >= total avoids any float quantile
+    semantics, so both engines agree bit-for-bit). Output per lang:
+    the floor, how many docs sit at/below it (the flag set), and the
+    total. Scale: the only corpus-sized op is a map-side-combinable
+    groupBy(lang, n_chars); the window then runs over DISTINCT
+    (lang, value) pairs — bounded by value cardinality, not rows — so
+    no hot-language sort task exists even at 10^12 docs (contrast with
+    a naive percent_rank window over raw rows)."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("lang").orderBy("n_chars")
+    w_all = Window.partitionBy("lang")
+    w = g.select(
+        "lang",
+        "n_chars",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    hit = w.filter(F.lit(10) * F.col("cum") >= F.col("total"))
+    s = hit.groupBy("lang").agg(
+        F.min(F.struct("n_chars", "cum")).alias("s"),
+        F.min("total").alias("n_total"),
+    )
+    return s.select(
+        "lang",
+        F.col("s.n_chars").alias("p10_floor"),
+        F.col("s.cum").alias("n_at_or_below"),
+        "n_total",
+    ).orderBy("lang")

@@ -253,6 +253,28 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,
         "max_exchanges": 1,                      # range sort only
     },
+    "url_canonical_dupes": {
+        # canonicalization is pure expression work on the scan; the
+        # collapse is one map-side-combinable groupBy on the canonical
+        # key — no join anywhere
+        "plan_not_contains": "Join",
+        "read_cols_max": 1,                      # doc_id only (synth URL)
+        "max_exchanges": 3,                      # agg + distinct + sort
+    },
+    "snapshot_churn": {
+        # one full-outer shuffle join on unique url keys, then a
+        # combinable count — no broadcast possible (both sides corpus)
+        "plan_contains": "SortMergeJoin .*FullOuter",
+        "plan_not_contains": "CartesianProduct|Window",
+        "read_cols_max": 4,                      # doc_id, lang, text, source
+    },
+    "lang_adaptive_floor": {
+        # corpus-sized work is ONLY the (lang, n_chars) combinable
+        # aggregate; the window runs over distinct value pairs
+        "plan_contains": "Window",
+        "plan_not_contains": "Join",
+        "read_cols_max": 2,                      # lang + n_chars
+    },
 }
 
 
