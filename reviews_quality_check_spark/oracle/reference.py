@@ -64,6 +64,18 @@ def sanitize_text(text) -> str:
     return " ".join(text.split())
 
 
+_HTML_TAG = re.compile(rb"<[^>]*>")
+
+
+def extract_text(payload: bytes) -> str:
+    """Tag-strip + utf-8 ignore-decode + sanitize chain: the clean-room
+    twin of functions/udfs.extract_text_udf, used only to precompute
+    planted-fixture EXPECTED literals (the byte-identical extracted-text
+    invariant of the north-star input_hint)."""
+    raw = _HTML_TAG.sub(b" ", bytes(payload))
+    return sanitize_text(raw.decode("utf-8", errors="ignore"))
+
+
 def norm_text(text: str) -> str:
     """lower + trim + whitespace collapse — similarity.py:80-82."""
     return re.sub(r"\s+", " ", text.lower().strip())

@@ -5600,3 +5600,49 @@ def lang_adaptive_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.cum").alias("n_at_or_below"),
         "n_total",
     ).orderBy("lang")
+
+
+def _extraction_oracle() -> str:
+    from reviews_quality_check_spark.sources.planted import sql_planted_extracted
+
+    # The corpus text is pure printable ASCII at every sf and the synth
+    # html wraps it in exactly two tags, so the extract chain reduces to
+    # whitespace collapse + trim there; every non-trivial branch (tag
+    # attributes, tags spanning newlines, CHAR_MAP/NFKD unicode, unclosed
+    # tags, stray angle brackets, empty body, invalid UTF-8) is certified
+    # by the planted payloads with precomputed expected literals.
+    return f"""
+    SELECT doc_id, extracted FROM (
+      SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ') AS extracted
+      FROM documents
+      UNION ALL
+      SELECT doc_id, extracted FROM {sql_planted_extracted()}
+    ) ORDER BY doc_id
+    """
+
+
+@_register("extraction_parity", oracle=_extraction_oracle())
+def extraction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-star per-row invariant (BASELINE.json input_hint):
+    byte-identical extracted text per url. html binary -> Arrow-batched
+    extract UDF (tag strip, utf-8 ignore-decode, reference sanitize
+    chain, utils/text_processing.py:7-55) with the full VALUE of every
+    extracted string hashed by the driver gate — corpus rows via
+    deterministic html wrapping of the text column, plus planted stress
+    payloads covering each chain branch the ASCII corpus can't reach.
+    Scale: one scan, one Arrow-batched pandas UDF (the distinct-value
+    cache inside amortizes duplicated pages), no shuffle before the
+    presentation sort."""
+    from reviews_quality_check_spark.functions.udfs import extracted_text
+    from reviews_quality_check_spark.sources.planted import planted_html_docs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")
+        ).cast("binary").alias("html"),
+    )
+    full = d.unionByName(planted_html_docs(spark))
+    return full.select(
+        "doc_id", extracted_text("html").alias("extracted")
+    ).orderBy("doc_id")

@@ -177,6 +177,50 @@ def sql_planted_sanitized() -> str:
     return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, sanitized))"
 
 
+# html extraction stress payloads: every branch of the extract chain the
+# plain-ASCII corpus cannot reach — attribute-laden tags, tags spanning
+# newlines, unicode needing CHAR_MAP/NFKD, unclosed tags, stray angle
+# brackets, empty body, invalid UTF-8 bytes, superscript/fraction NFKD.
+_PLANTED_HTML: list[tuple[int, bytes]] = [
+    (-91, '<div class="x" data-a=1>Hello <b>world</b></div>'.encode()),
+    (-92, b'<p\nstyle="a">A<br/>B</p>'),
+    (-93, '<span>caf\u00e9 \u2013 \u00f1o \u201cq\u201d</span>'.encode("utf-8")),
+    (-94, b"<unclosed tag never ends"),
+    (-95, b"a > b < c"),
+    (-96, b"<html><body></body></html>"),
+    (-97, b"<p>ok\xff\xfe</p> tail"),
+    (-98, "<td>x\u00b2 + \u2152</td>".encode("utf-8")),
+]
+
+
+def planted_html_docs(spark: SparkSession) -> DataFrame:
+    """(doc_id, html) extraction stress rows as a pure-JVM literal plan."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).cast("long").alias("doc_id"),
+                F.lit(b).alias("html"),
+            )
+            for i, b in _PLANTED_HTML
+        ]
+    )
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
+
+
+def sql_planted_extracted() -> str:
+    """DuckDB VALUES of (doc_id, extracted) EXPECTED outputs for the
+    stress payloads, precomputed via the clean-room extract chain."""
+    from reviews_quality_check_spark.oracle.reference import extract_text
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"({i}, '{esc(extract_text(b))}')" for i, b in _PLANTED_HTML
+    )
+    return "(SELECT * FROM (VALUES " + vals + ") v(doc_id, extracted))"
+
+
 # ---------------------------------------------------------------------------
 # embeddings: (vec_id BIGINT, embedding FLOAT[], label INTEGER)
 # ---------------------------------------------------------------------------

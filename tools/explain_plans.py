@@ -253,6 +253,14 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,
         "max_exchanges": 1,                      # range sort only
     },
+    "extraction_parity": {
+        # html -> text is one Arrow-batched UDF on the scan; no shuffle
+        # before the presentation sort
+        "plan_contains": "ArrowEvalPython",
+        "plan_not_contains": "Join",
+        "read_cols_max": 2,                      # doc_id + text
+        "max_exchanges": 1,                      # presentation sort only
+    },
     "url_canonical_dupes": {
         # canonicalization is pure expression work on the scan; the
         # collapse is one map-side-combinable groupBy on the canonical
