@@ -125,6 +125,10 @@ BENCH_QUERIES = [
     "embedding_quality_stats",
     "suite_profile_verdicts",
     "url_blocklist_verdicts",
+    "url_canonical_dupes",
+    "snapshot_churn",
+    "lang_adaptive_floor",
+    "extraction_parity",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)
