@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "snapshot_churn",
     "lang_adaptive_floor",
     "extraction_parity",
+    "suite_violations",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

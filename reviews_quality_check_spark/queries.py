@@ -5646,3 +5646,87 @@ def extraction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.select(
         "doc_id", extracted_text("html").alias("extracted")
     ).orderBy("doc_id")
+
+
+@_register(
+    "suite_violations",
+    oracle=f"""
+    WITH all_docs AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        (-101, '', 'en', 50),
+        (-102, 'planted ok text', 'xx', 20),
+        (-103, 'planted ok text', 'de', 0),
+        (-104, NULL, 'fr', 20000)
+      ) v(doc_id, text, lang, n_chars)
+    ),
+    v AS (
+      SELECT lang AS partition_id, 'not_blank_text' AS check_name,
+             doc_id AS row_key, 'text is blank' AS detail
+      FROM all_docs WHERE text IS NULL OR length(trim(text, ' ')) = 0
+      UNION ALL
+      SELECT lang, 'in_set_lang', doc_id, 'lang=' || coalesce(lang, '<null>')
+      FROM all_docs WHERE lang IS NULL OR lang NOT IN {str(_DOC_LANGS)}
+      UNION ALL
+      SELECT lang, 'in_range_n_chars', doc_id, 'n_chars=' || cast(n_chars as varchar)
+      FROM all_docs WHERE n_chars IS NULL OR n_chars < 1 OR n_chars > 10000
+    )
+    SELECT partition_id, check_name, cast(row_key as varchar) AS row_key, detail
+    FROM v ORDER BY partition_id, check_name, row_key
+    """,
+)
+def suite_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of the north_rule match contract: the suite's
+    VIOLATION ROWS (per-partition pass/fail is suite_verdicts), value-
+    exact — (partition_id, check_name, row_key, detail) through the
+    same runner.violations_plan that production writes to the
+    violations sink. Planted defective docs (-101 blank, -102 unknown
+    lang, -103 n_chars=0, -104 null text + oversize = two rows from
+    one doc) make every RowCheck's violation branch live at every sf
+    on top of whatever the corpus itself trips. Scale: violations are
+    array_compact/explode on the already-scanned flag projection —
+    rows with no violations contribute nothing, so output is bounded
+    by the defect rate, not the corpus."""
+    from reviews_quality_check_spark.plans import checks as C
+    from reviews_quality_check_spark.plans.runner import SuiteRunner
+
+    cols = ["doc_id", "text", "lang", "n_chars"]
+    base = _t(spark, sf_dir, "documents").select(*cols)
+    planted = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(-101).cast("long").alias("doc_id"),
+                    F.lit("").alias("text"),
+                    F.lit("en").alias("lang"),
+                    F.lit(50).cast("long").alias("n_chars"),
+                ),
+                F.struct(
+                    F.lit(-102).cast("long").alias("doc_id"),
+                    F.lit("planted ok text").alias("text"),
+                    F.lit("xx").alias("lang"),
+                    F.lit(20).cast("long").alias("n_chars"),
+                ),
+                F.struct(
+                    F.lit(-103).cast("long").alias("doc_id"),
+                    F.lit("planted ok text").alias("text"),
+                    F.lit("de").alias("lang"),
+                    F.lit(0).cast("long").alias("n_chars"),
+                ),
+                F.struct(
+                    F.lit(-104).cast("long").alias("doc_id"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit("fr").alias("lang"),
+                    F.lit(20000).cast("long").alias("n_chars"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    d = base.unionByName(planted)
+    suite = C.Suite(name="documents_suite_viol", row_key="doc_id")
+    suite.add(C.not_blank("text"))
+    suite.add(C.in_set("lang", _DOC_LANGS))
+    suite.add(C.in_range("n_chars", 1, 10000))
+    res = SuiteRunner(suite).run(d, F.col("lang"), resume=False)
+    return res.violations.orderBy("partition_id", "check_name", "row_key")

@@ -253,6 +253,14 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 2,
         "max_exchanges": 1,                      # range sort only
     },
+    "suite_violations": {
+        # violation rows = array_compact/explode over the flag
+        # projection: no join, output bounded by defect rate
+        "plan_contains": "Generate explode",
+        "plan_not_contains": "Join",
+        "read_cols_max": 4,                      # doc_id,text,lang,n_chars
+        "max_exchanges": 1,                      # presentation sort only
+    },
     "extraction_parity": {
         # html -> text is one Arrow-batched UDF on the scan; no shuffle
         # before the presentation sort
