@@ -156,6 +156,32 @@ def expression_floor(name: str, expr: Column, floor: float, max_rate: float = 0.
     )
 
 
+def byte_parity(name: str, left: Column, right: Column, max_rate: float = 0.0) -> RowCheck:
+    """Byte-identity invariant between two derivations of the same
+    content — the north_star's 'byte-identical extracted text per url'
+    check in the shape production runs it: a per-partition RowCheck
+    inside the validation suite (md5 over the bytes, computed JVM-side;
+    the extraction itself may be an Arrow UDF upstream). NULL on either
+    side is a violation unless BOTH are null (same content by
+    definition)."""
+    lh = F.md5(left.cast("binary"))
+    rh = F.md5(right.cast("binary"))
+    # NULL discipline matters: (lh == rh) is NULL when exactly one side
+    # is null, and a NULL violation flag silently vanishes from the
+    # runner's sum() — coalesce forces one-null to a hard violation
+    return RowCheck(
+        name=name,
+        violation=~((lh.isNull() & rh.isNull()) | F.coalesce(lh == rh, F.lit(False))),
+        detail=F.concat(
+            F.lit("md5 "),
+            F.coalesce(F.substring(lh, 1, 8), F.lit("<null>")),
+            F.lit(" != "),
+            F.coalesce(F.substring(rh, 1, 8), F.lit("<null>")),
+        ),
+        max_violation_rate=max_rate,
+    )
+
+
 def predicate(name: str, keep: Column, max_rate: float = 0.0) -> RowCheck:
     """Generic 'row must satisfy this boolean' check — the adapter that
     lets any per-row cleaning rule (Gopher/C4 flag conjunctions,

@@ -109,3 +109,52 @@ def test_extraction_matches_cleanroom_chain(spark):
     }
     for i, payload in _PLANTED_HTML:
         assert got[i] == extract_text(payload), (i, got[i])
+
+
+def test_byte_parity_check_flags_corrupt_rows(spark):
+    """byte_parity = the north_star extraction invariant as a suite
+    RowCheck: only rows whose stored text deviates from re-extraction
+    violate; both-null passes; one-null violates."""
+    from reviews_quality_check_spark.functions.udfs import extracted_text
+    from reviews_quality_check_spark.plans import checks as C
+    from reviews_quality_check_spark.plans.runner import SuiteRunner
+
+    rows = [
+        # (key, stored_text, page_text, lang) — page_text is what the
+        # html actually contains; stored == extracted for clean rows
+        (1, "alpha beta", "alpha beta", "en"),
+        (2, "gamma delta", "gamma delta", "en"),
+        (3, "STALE text", "fresh text", "de"),   # corrupt: stored drifted
+        (4, None, None, "de"),                   # both null: same content
+        (5, None, "only page has it", "fr"),     # one null: violation
+    ]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("key"),
+                F.lit(s).cast("string").alias("text"),
+                (
+                    F.lit(None).cast("binary")
+                    if p is None
+                    else F.concat(
+                        F.lit("<html><body>"), F.lit(p), F.lit("</body></html>")
+                    ).cast("binary")
+                ).alias("html"),
+                F.lit(lg).alias("lang"),
+            )
+            for k, s, p, lg in rows
+        ]
+    )
+    pages = spark.range(1).select(F.explode(arr).alias("r")).select("r.*")
+    pages = pages.withColumn("extracted", extracted_text("html"))
+
+    suite = C.Suite(name="parity_suite", row_key="key")
+    suite.add(C.byte_parity("text_extraction_parity", F.col("extracted"), F.col("text")))
+    res = SuiteRunner(suite).run(pages, F.col("lang"), resume=False)
+    verdicts = {r["partition_id"]: r for r in res.verdicts.collect()}
+    assert verdicts["en"]["passed"] is True
+    assert verdicts["de"]["passed"] is False
+    assert verdicts["de"]["violation_count"] == 1   # key 3 only; key 4 passes
+    assert verdicts["fr"]["passed"] is False
+    viol = {(r["partition_id"], r["row_key"]) for r in res.violations.collect()}
+    assert viol == {("de", "3"), ("fr", "5")}
