@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "lang_adaptive_floor",
     "extraction_parity",
     "suite_violations",
+    "constraint_suggestions",
+    "metric_anomalies",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

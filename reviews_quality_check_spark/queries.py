@@ -5730,3 +5730,187 @@ def suite_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite.add(C.in_range("n_chars", 1, 10000))
     res = SuiteRunner(suite).run(d, F.col("lang"), resume=False)
     return res.violations.orderBy("partition_id", "check_name", "row_key")
+
+
+# ===========================================================================
+# 12. Validation-engine meta layer: constraint suggestion + metric-history
+#     anomaly detection (the two Deequ-style passes a brand-new 10^12-row
+#     table needs before anyone has hand-written a suite for it)
+# ===========================================================================
+
+
+@_register("constraint_suggestions")
+def constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile documents (+ planted branch-flippers) and emit the
+    suggested constraint suite: not_null/null_rate_max, unique, in_set
+    (<=20 distinct), in_range, non_negative — plans/suggest.py. The
+    planted rows (-101..-103, sources/planted.py) keep every rule's
+    emit AND suppress branches live at every sf: text gains a null
+    (null_rate_max), source crosses max_card (in_set suppressed),
+    doc_id goes negative-but-unique (non_negative suppressed, unique
+    kept), n_chars hits 0 (non_negative boundary kept)."""
+    from reviews_quality_check_spark.plans.suggest import suggest_constraints
+    from reviews_quality_check_spark.sources.planted import planted_suggest_docs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(planted_suggest_docs(spark))
+    )
+    out = suggest_constraints(
+        spark, d, numeric_cols=("doc_id", "n_chars"),
+        string_cols=("text", "lang", "source"), max_card=20,
+    )
+    return out.orderBy("col_name", "rule")
+
+
+def _suggest_oracle() -> str:
+    from reviews_quality_check_spark.sources.planted import sql_planted_suggest
+
+    numeric = ("doc_id", "n_chars")
+    strings = ("text", "lang", "source")
+    prof_terms = ["count(*) AS n"]
+    for c in numeric + strings:
+        prof_terms.append(
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS z_{c}"
+        )
+        prof_terms.append(f"count(DISTINCT {c}) AS d_{c}")
+    for c in numeric:
+        prof_terms.append(f"min({c}) AS mn_{c}")
+        prof_terms.append(f"max({c}) AS mx_{c}")
+    set_ctes = ", ".join(
+        f"vals_{c} AS (SELECT string_agg(DISTINCT {c}, ',' ORDER BY {c}) AS vs "
+        f"FROM docs WHERE {c} IS NOT NULL)"
+        for c in strings
+    )
+    arms = []
+    for c in numeric + strings:
+        arms.append(
+            f"SELECT '{c}' AS col_name, 'not_null' AS rule, '' AS params, "
+            f"cast(NULL as double) AS param_lo, cast(NULL as double) AS param_hi, "
+            f"cast(0.0 as double) AS observed FROM prof WHERE z_{c} = 0"
+        )
+        arms.append(
+            f"SELECT '{c}', 'null_rate_max', '', cast(NULL as double), "
+            f"cast((100 * z_{c} + n - 1) // n as double) / 100.0, "
+            f"round(cast(z_{c} as double) / n + 1e-9, 4) "
+            f"FROM prof WHERE z_{c} > 0"
+        )
+        arms.append(
+            f"SELECT '{c}', 'unique', '', cast(NULL as double), "
+            f"cast(NULL as double), cast(1.0 as double) "
+            f"FROM prof WHERE z_{c} = 0 AND d_{c} = n"
+        )
+    for c in strings:
+        arms.append(
+            f"SELECT '{c}', 'in_set', vals_{c}.vs, cast(NULL as double), "
+            f"cast(NULL as double), cast(d_{c} as double) "
+            f"FROM prof, vals_{c} WHERE d_{c} > 0 AND d_{c} <= 20"
+        )
+    for c in numeric:
+        arms.append(
+            f"SELECT '{c}', 'in_range', '', cast(mn_{c} as double), "
+            f"cast(mx_{c} as double), "
+            f"round(cast(n - z_{c} as double) / n + 1e-9, 4) "
+            f"FROM prof WHERE mn_{c} IS NOT NULL"
+        )
+        arms.append(
+            f"SELECT '{c}', 'non_negative', '', cast(NULL as double), "
+            f"cast(NULL as double), cast(mn_{c} as double) "
+            f"FROM prof WHERE mn_{c} >= 0"
+        )
+    return (
+        "WITH docs AS (SELECT doc_id, text, lang, source, n_chars FROM documents "
+        f"UNION ALL SELECT * FROM {sql_planted_suggest()}), "
+        f"prof AS (SELECT {', '.join(prof_terms)} FROM docs), {set_ctes} "
+        + " UNION ALL ".join(arms)
+        + " ORDER BY col_name, rule"
+    )
+
+
+ORACLES["constraint_suggestions"] = _suggest_oracle()
+
+
+# planted anomaly history: a stable series with one upward spike (500)
+# and one downward crash (30) -> rel + z detectors both have live
+# positive AND negative rows; early windows (<3 history) pin the
+# not-enough-history suppression branch.
+_PLANTED_METRIC = (100, 102, 98, 101, 99, 500, 100, 97, 103, 30)
+
+
+@_register("metric_anomalies")
+def metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily metric series from events (row count + distinct users per
+    day) + the planted spike series, through plans/anomaly.py's
+    integer-exact relative-change (25%) and trailing-z (k=3) detectors.
+    The heavy work (10^12 rows -> n_days rows) is the combine-effective
+    daily aggregation; the window pass runs on the tiny series frame."""
+    from reviews_quality_check_spark.plans.anomaly import detect_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("window_id")
+    counts = ev.groupBy(day).agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit("events_per_day").alias("metric"), "window_id", "value"
+    )
+    users = ev.groupBy(day).agg(
+        F.count_distinct("user_id").alias("value")
+    ).select(F.lit("daily_users").alias("metric"), "window_id", "value")
+    planted = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit("planted_metric").alias("metric"),
+                        F.lit(f"2023-01-{i + 1:02d}").alias("window_id"),
+                        F.lit(int(v)).cast("long").alias("value"),
+                    )
+                    for i, v in enumerate(_PLANTED_METRIC)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    series = counts.unionByName(users).unionByName(planted)
+    out = detect_anomalies(
+        series, series_col="metric", order_col="window_id",
+        value_col="value", rel_pct=25, z_k=3, min_hist=3,
+    )
+    return out.orderBy("metric", "window_id")
+
+
+def _anomaly_oracle() -> str:
+    planted_vals = ", ".join(
+        f"('planted_metric', '2023-01-{i + 1:02d}', {v})"
+        for i, v in enumerate(_PLANTED_METRIC)
+    )
+    return f"""
+    WITH series AS (
+      SELECT 'events_per_day' AS metric, strftime(ts, '%Y-%m-%d') AS window_id,
+             count(*) AS value
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'daily_users', strftime(ts, '%Y-%m-%d'), count(DISTINCT user_id)
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT metric, window_id, cast(value as bigint)
+      FROM (VALUES {planted_vals}) p(metric, window_id, value)),
+    wins AS (
+      SELECT metric, window_id, cast(value as hugeint) AS v,
+        lag(cast(value as hugeint)) OVER w AS prev,
+        count(value) OVER h AS c,
+        sum(cast(value as hugeint)) OVER h AS s,
+        sum(cast(value as hugeint) * cast(value as hugeint)) OVER h AS ss
+      FROM series
+      WINDOW w AS (PARTITION BY metric ORDER BY window_id),
+             h AS (PARTITION BY metric ORDER BY window_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT metric, window_id, cast(v as bigint) AS value,
+      cast(prev as bigint) AS prev_value, cast(c as bigint) AS hist_n,
+      coalesce(prev IS NOT NULL AND 100 * abs(v - prev) > 25 * prev,
+               false) AS rel_anomaly,
+      coalesce(c >= 3 AND (c*v - s) * (c*v - s) * (c - 1)
+                 > 9 * c * (c*ss - s*s), false) AS z_anomaly
+    FROM wins ORDER BY metric, window_id
+    """
+
+
+ORACLES["metric_anomalies"] = _anomaly_oracle()

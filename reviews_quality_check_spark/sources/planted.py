@@ -502,3 +502,51 @@ def sql_planted_profile() -> str:
         "(SELECT * FROM (VALUES " + vals + ") "
         "v(doc_id, text, lang, source, n_chars))"
     )
+
+
+# ---------------------------------------------------------------------------
+# constraint_suggestions: rows that flip the suggestion rules' OTHER
+# branches, so every rule has live emit-AND-suppress cases at every sf:
+#   -101 NULL text        -> text moves not_null -> null_rate_max
+#   -102 empty text, n_chars 0, lang 'xx'
+#                         -> n_chars min hits 0 (non_negative boundary),
+#                            lang value set gains a planted member
+#   -103 21st source value -> source crosses max_card=20: in_set SUPPRESSED
+#   negative doc_ids       -> doc_id min < 0: non_negative suppressed for
+#                            doc_id while staying unique (distinct ids)
+# (doc_id, text-or-None, lang, source, n_chars)
+# ---------------------------------------------------------------------------
+
+_PLANTED_SUGGEST = (
+    (-101, None, "en", "src0", 10),
+    (-102, "", "xx", "src1", 0),
+    (-103, "planted extra source row", "de", "plantedsrc", 24),
+)
+
+
+def planted_suggest_docs(spark: SparkSession) -> DataFrame:
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).cast("long").alias("doc_id"),
+                (F.lit(t) if t is not None else F.lit(None)).cast("string").alias("text"),
+                F.lit(lang).alias("lang"),
+                F.lit(src).alias("source"),
+                F.lit(int(n)).cast("long").alias("n_chars"),
+            )
+            for i, t, lang, src, n in _PLANTED_SUGGEST
+        ]
+    )
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
+
+
+def sql_planted_suggest() -> str:
+    vals = ", ".join(
+        f"({i}, {'NULL' if t is None else repr(t).replace(chr(34), chr(39))}, '{lang}', '{src}', {n})"
+        for i, t, lang, src, n in _PLANTED_SUGGEST
+    )
+    return (
+        "(SELECT cast(doc_id as bigint) AS doc_id, cast(text as varchar) AS text, "
+        "lang, source, cast(n_chars as bigint) AS n_chars "
+        "FROM (VALUES " + vals + ") v(doc_id, text, lang, source, n_chars))"
+    )

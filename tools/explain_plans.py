@@ -291,6 +291,20 @@ EXPECT: dict[str, dict] = {
         "plan_not_contains": "Join",
         "read_cols_max": 2,                      # lang + n_chars
     },
+    "constraint_suggestions": {
+        # suggestion assembly is a literal plan: the returned frame must
+        # not re-scan the corpus (profiling ran in two bounded passes at
+        # build time) and must not drag in a Python-RDD scan
+        "plan_not_contains": "Scan parquet|Join|BatchEvalPython",
+        "max_exchanges": 1,                      # presentation sort only
+    },
+    "metric_anomalies": {
+        # corpus-sized work = two combinable daily aggregates; the
+        # anomaly window runs over the tiny per-day series; no join
+        "plan_contains": "Window",
+        "plan_not_contains": "Join|CartesianProduct",
+        "read_cols_max": 2,                      # ts + user_id
+    },
 }
 
 
