@@ -168,6 +168,7 @@ class SuiteRunner:
         partition_expr: Column,
         resume: bool = True,
         persist: bool = False,
+        run_seq: int | None = None,
     ) -> SuiteResult:
         """``persist=True`` caches the narrow flagged projection
         (MEMORY_AND_DISK) so the verdict aggregate, the violation
@@ -213,7 +214,9 @@ class SuiteRunner:
         violations = self.violations_plan(flagged)
 
         if self.out_dir:
-            self._commit(spark, run_id, flagged, verdicts, violations)
+            if run_seq is None:
+                run_seq = self.next_run_seq(spark)
+            self._commit(spark, run_id, run_seq, flagged, verdicts, violations)
             if persist:
                 flagged.unpersist()  # outputs are on disk; drop the cache
             return SuiteResult(
@@ -251,6 +254,7 @@ class SuiteRunner:
         self,
         spark: SparkSession,
         run_id: str,
+        run_seq: int,
         flagged: DataFrame,
         verdicts: DataFrame,
         violations: DataFrame,
@@ -295,4 +299,77 @@ class SuiteRunner:
                 F.current_timestamp().alias("committed_at"),
             )
         )
+        # metrics HISTORY (append-only, one row per run x partition x
+        # check + a __rows_scanned volume series) — the input
+        # history_anomalies() reads. Written BEFORE lineage: lineage is
+        # the commit marker, so a crash between the two re-processes the
+        # partition and dynamic-overwrite/append idempotency holds for
+        # everything written earlier within the same run_seq (the
+        # re-run appends a fresh run_id; history_anomalies orders by
+        # run_seq and keeps the LAST row per (series, run_seq)).
+        metrics = verdicts.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(int(run_seq)).cast("long").alias("run_seq"),
+            "partition_id",
+            "check_name",
+            F.col("violation_count").cast("long").alias("value"),
+            F.col("metric_value").cast("double").alias("metric_value"),
+        ).unionByName(
+            lineage.select(
+                "run_id",
+                F.lit(int(run_seq)).cast("long").alias("run_seq"),
+                "partition_id",
+                F.lit("__rows_scanned").alias("check_name"),
+                F.col("rows_scanned").cast("long").alias("value"),
+                F.lit(None).cast("double").alias("metric_value"),
+            )
+        )
+        metrics.write.mode("append").parquet(self._path("metrics"))
         lineage.write.mode("append").parquet(self._path("lineage"))
+
+    # -- metric history -----------------------------------------------------
+
+    def next_run_seq(self, spark: SparkSession) -> int:
+        """Next run sequence number: max committed run_seq + 1 (0 for a
+        fresh out_dir). A bounded-metadata read of the metrics sink."""
+        try:
+            m = spark.read.parquet(self._path("metrics"))
+        except Exception:
+            return 0
+        row = m.agg(F.max("run_seq").alias("mx")).collect()[0]
+        return 0 if row["mx"] is None else int(row["mx"]) + 1
+
+    def history_anomalies(
+        self,
+        spark: SparkSession,
+        rel_pct: int = 25,
+        z_k: int = 3,
+        min_hist: int = 3,
+    ) -> DataFrame:
+        """Run-over-run anomaly flags from the committed metrics history:
+        each (partition, check) violation-count series — plus the
+        __rows_scanned volume series (the classic ingestion-drop
+        detector) — through plans/anomaly.detect_anomalies. The frame
+        is runs x partitions x checks rows: series-sized, never
+        corpus-sized. Crash-replayed run_seqs keep only their LAST
+        committed row (max run_id is arbitrary but the replayed values
+        are identical by the runner's idempotency contract)."""
+        from reviews_quality_check_spark.plans.anomaly import detect_anomalies
+
+        m = spark.read.parquet(self._path("metrics"))
+        series = (
+            m.groupBy(
+                F.concat_ws("/", "partition_id", "check_name").alias("metric"),
+                F.col("run_seq").alias("window_id"),
+            )
+            .agg(F.last("value").alias("value"))
+        )
+        return detect_anomalies(
+            series,
+            series_col="metric",
+            order_col="window_id",
+            value_col="value",
+            rel_pct=rel_pct,
+            z_k=z_k,
+            min_hist=min_hist,
+        )

@@ -195,3 +195,42 @@ def test_decimal_path_exact_at_1e9_counts(spark):
 def test_min_hist_parameter(spark):
     flags, _ = _flags(spark, [10, 10, 10, 100], min_hist=4)
     assert [f[1] for f in flags] == [False] * 4
+
+
+# ---------------------------------------------------------------------------
+# runner metrics-history integration
+# ---------------------------------------------------------------------------
+
+
+def test_runner_metrics_history_anomalies(spark, tmp_path):
+    """The north_star loop: every committed run appends metric-history
+    rows; history_anomalies flags the run whose violation counts jump."""
+    from reviews_quality_check_spark.plans import checks as C
+
+    def frame(n_bad):
+        rows = [(i, "ok text", "en", "web", 10) for i in range(1, 21)]
+        rows += [(100 + j, None, "en", "web", 10) for j in range(n_bad)]
+        return _docs(spark, rows)
+
+    suite = C.Suite(name="hist", row_key="doc_id")
+    suite.add(C.not_blank("text", max_rate=1.0))  # count-only, always passes
+    out = str(tmp_path / "out")
+    runner = SuiteRunner(suite, out_dir=out)
+
+    for seq, n_bad in enumerate([1, 1, 1, 1, 9]):
+        assert runner.next_run_seq(spark) == seq  # auto-increment contract
+        runner.run(frame(n_bad), F.col("lang"), resume=False)
+
+    hist = {
+        (r["metric"], r["window_id"]): r
+        for r in runner.history_anomalies(spark).collect()
+    }
+    viol = [hist["en/not_blank_text", s] for s in range(5)]
+    # stable 1,1,1,1 then 9: the jump is both a rel and a z anomaly
+    assert [r["value"] for r in viol] == [1, 1, 1, 1, 9]
+    assert (viol[4]["rel_anomaly"], viol[4]["z_anomaly"]) == (True, True)
+    assert all(not r["rel_anomaly"] and not r["z_anomaly"] for r in viol[:4])
+    # volume series exists and stays calm (21,21,21,21,29: 8/21 = 38% rel)
+    vol = [hist["en/__rows_scanned", s] for s in range(5)]
+    assert [r["value"] for r in vol] == [21, 21, 21, 21, 29]
+    assert vol[4]["rel_anomaly"] and vol[4]["z_anomaly"]
