@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "suite_violations",
     "constraint_suggestions",
     "metric_anomalies",
+    "schema_check_documents",
+    "freshness_verdicts",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

@@ -349,3 +349,40 @@ def quantile_min(column: str, pct: int, floor: float) -> AggCheck:
 
     return AggCheck(name=f"p{int(pct)}_min_{column}", plan=plan, op=">=",
                     threshold=float(floor), requires=(column,))
+
+
+def freshness(ts_col: str, max_age_days: int, asof: str) -> AggCheck:
+    """Per-partition staleness ceiling: metric = whole days between the
+    partition's newest ``ts_col`` value and the ``asof`` date (the
+    run's logical date — an explicit parameter, never wall-clock, so
+    verdicts are deterministic and replayable). Passes when the
+    partition has data at most ``max_age_days`` old — the
+    ingestion-stopped detector for a rolling crawl: a partition whose
+    upstream feed died keeps passing every row-level check forever
+    while silently going stale. Integer day arithmetic on both
+    engines (datediff over date casts), so the oracle matches exactly.
+    Scale: one max() per partition — combine-effective, one narrow
+    shuffle, no window."""
+
+    def plan(df: DataFrame, partition_col: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(partition_col).alias("partition_id"),
+                F.col(ts_col).alias("__ts"),
+            )
+            .groupBy("partition_id")
+            .agg(
+                F.datediff(
+                    F.to_date(F.lit(asof)), F.to_date(F.max("__ts"))
+                ).cast("double").alias("metric_value")
+            )
+            .withColumn("violation_count", F.lit(0).cast("long"))
+        )
+
+    return AggCheck(
+        name=f"freshness_{ts_col}",
+        plan=plan,
+        op="<=",
+        threshold=float(max_age_days),
+        requires=(ts_col,),
+    )

@@ -86,6 +86,15 @@ class SuiteRunner:
             )
             for i, rc in enumerate(suite.row_checks)
         ]
+        if not structs:
+            # agg-only suite: no per-row predicates, so no violation rows
+            # (an empty F.array() would type as array<void> and break the
+            # struct-field extraction below)
+            return flagged.sparkSession.createDataFrame(
+                [],
+                "partition_id string, check_name string, "
+                "row_key string, detail string",
+            )
         arr = F.array_compact(F.array(*structs))
         return (
             flagged.select(F.col("__part").alias("partition_id"), arr.alias("__viols"))
@@ -102,6 +111,13 @@ class SuiteRunner:
     def row_verdicts_plan(self, flagged: DataFrame) -> DataFrame:
         """One groupBy: per-partition counts for every RowCheck at once."""
         suite = self.suite
+        if not suite.row_checks:
+            # agg-only suite (same array<void> guard as violations_plan)
+            return flagged.sparkSession.createDataFrame(
+                [],
+                "partition_id string, check_name string, passed boolean, "
+                "violation_count bigint, metric_value double, threshold double",
+            )
         aggs = [F.count(F.lit(1)).alias("__n")]
         for i, _rc in enumerate(suite.row_checks):
             aggs.append(F.sum(F.col(f"__v{i}").cast("long")).alias(f"__c{i}"))

@@ -5914,3 +5914,125 @@ def _anomaly_oracle() -> str:
 
 
 ORACLES["metric_anomalies"] = _anomaly_oracle()
+
+
+@_register("schema_check_documents")
+def schema_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schema half of 'schema + constraint validation': expected
+    column contract vs the documents table's actual parquet schema
+    (plans/schema_check.py — reads footers, zero data rows). The
+    expected contract deliberately disagrees with reality on three
+    axes so all four statuses are live at every sf: n_chars declared
+    int (actual bigint -> type_mismatch), license declared but absent
+    (-> missing), source undeclared but present (-> extra); the rest ok."""
+    from reviews_quality_check_spark.plans.schema_check import check_schema
+
+    expected = (
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("n_chars", "int"),
+        ("license", "string"),
+    )
+    d = _t(spark, sf_dir, "documents")
+    return check_schema(spark, d, expected).orderBy("col_name")
+
+
+ORACLES["schema_check_documents"] = """
+    WITH actual AS (
+      SELECT column_name AS col_name,
+        CASE column_type
+          WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+          WHEN 'VARCHAR' THEN 'string' WHEN 'DOUBLE' THEN 'double'
+          WHEN 'FLOAT' THEN 'float' WHEN 'TIMESTAMP' THEN 'timestamp'
+          WHEN 'BLOB' THEN 'binary' WHEN 'BOOLEAN' THEN 'boolean'
+          WHEN 'FLOAT[]' THEN 'array<float>'
+          ELSE lower(column_type) END AS actual_type
+      FROM (DESCRIBE documents)),
+    expected AS (
+      SELECT * FROM (VALUES
+        ('doc_id', 'bigint'), ('text', 'string'), ('lang', 'string'),
+        ('n_chars', 'int'), ('license', 'string')
+      ) e(col_name, expected_type))
+    SELECT coalesce(e.col_name, a.col_name) AS col_name,
+      e.expected_type, a.actual_type,
+      CASE WHEN e.col_name IS NULL THEN 'extra'
+           WHEN a.col_name IS NULL THEN 'missing'
+           WHEN e.expected_type = a.actual_type THEN 'ok'
+           ELSE 'type_mismatch' END AS status
+    FROM expected e FULL OUTER JOIN actual a ON e.col_name = a.col_name
+    ORDER BY col_name
+"""
+
+
+@_register("freshness_verdicts")
+def freshness_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness gate: per-event_type freshness AggCheck (newest ts at
+    most 7 days before the run's logical asof date, 2024-02-03) + a
+    not_null row check, through the SuiteRunner. The planted
+    'planted_stale' partition (newest ts 2024-01-10 -> age 24d) keeps
+    the fail branch live at every sf; the real feeds (age 4d) pass —
+    the ingestion-stopped detector a rolling crawl needs, since a dead
+    feed passes every row-level check forever."""
+    from reviews_quality_check_spark.plans import checks as C
+    from reviews_quality_check_spark.plans.runner import SuiteRunner
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    planted = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(-1).cast("long").alias("event_id"),
+                    F.to_timestamp(F.lit("2024-01-10 00:00:00")).alias("ts"),
+                    F.lit("planted_stale").alias("event_type"),
+                ),
+                F.struct(
+                    F.lit(-2).cast("long").alias("event_id"),
+                    F.to_timestamp(F.lit("2024-01-09 12:00:00")).alias("ts"),
+                    F.lit("planted_stale").alias("event_type"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    d = ev.unionByName(planted)
+    suite = C.Suite(name="events_freshness", row_key="event_id")
+    suite.add(C.not_null("ts"))
+    suite.add(C.freshness("ts", max_age_days=7, asof="2024-02-03"))
+    res = SuiteRunner(suite).run(d, F.col("event_type"), resume=False)
+    return res.verdicts.select(
+        "partition_id",
+        "check_name",
+        "passed",
+        "violation_count",
+        F.round(F.col("metric_value") + 1e-9, 4).alias("metric_value"),
+        F.round("threshold", 4).alias("threshold"),
+    ).orderBy("partition_id", "check_name")
+
+
+ORACLES["freshness_verdicts"] = """
+    WITH ev AS (
+      SELECT event_id, ts, event_type FROM events
+      UNION ALL
+      SELECT cast(event_id as bigint), ts, event_type FROM (VALUES
+        (-1, TIMESTAMP '2024-01-10 00:00:00', 'planted_stale'),
+        (-2, TIMESTAMP '2024-01-09 12:00:00', 'planted_stale')
+      ) p(event_id, ts, event_type)),
+    counts AS (
+      SELECT event_type AS partition_id, count(*) AS n,
+        sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS c_null
+      FROM ev GROUP BY 1),
+    fresh AS (
+      SELECT event_type AS partition_id,
+        date_diff('day', cast(max(ts) AS DATE), DATE '2024-02-03') AS age
+      FROM ev GROUP BY 1)
+    SELECT partition_id, 'not_null_ts' AS check_name, c_null = 0 AS passed,
+      cast(c_null AS bigint) AS violation_count,
+      round(cast(c_null AS double) / n + 1e-9, 4) AS metric_value,
+      cast(0.0 AS double) AS threshold
+    FROM counts
+    UNION ALL
+    SELECT partition_id, 'freshness_ts', age <= 7.0, cast(0 AS bigint),
+      round(cast(age AS double) + 1e-9, 4), cast(7.0 AS double)
+    FROM fresh
+    ORDER BY partition_id, check_name
+"""

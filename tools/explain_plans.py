@@ -298,6 +298,18 @@ EXPECT: dict[str, dict] = {
         "plan_not_contains": "Scan parquet|Join|BatchEvalPython",
         "max_exchanges": 1,                      # presentation sort only
     },
+    "schema_check_documents": {
+        # schema comes from footers/catalog: the verdict frame must not
+        # scan any data rows
+        "plan_not_contains": "Scan parquet|Join",
+        "max_exchanges": 1,                      # presentation sort only
+    },
+    "freshness_verdicts": {
+        # one combine-effective max() per partition + the row-check
+        # groupBy; no window, no join
+        "plan_not_contains": "Join|Window|CartesianProduct",
+        "read_cols_max": 3,                      # event_id, ts, event_type
+    },
     "metric_anomalies": {
         # corpus-sized work = two combinable daily aggregates; the
         # anomaly window runs over the tiny per-day series; no join
