@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "metric_anomalies",
     "schema_check_documents",
     "freshness_verdicts",
+    "incremental_profile",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

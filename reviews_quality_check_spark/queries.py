@@ -6036,3 +6036,69 @@ ORACLES["freshness_verdicts"] = """
     FROM fresh
     ORDER BY partition_id, check_name
 """
+
+
+@_register("incremental_profile")
+def incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental state-store profile (operators/incremental_stats):
+    per-lang mergeable states over documents (+ the planted null/extreme
+    rows) merged back into table-level metrics. The merge arithmetic
+    (counts / null rates / min / max / exact-decimal mean) is what the
+    oracle certifies — a direct single-pass DuckDB profile over the
+    union must equal the merge of per-partition states, which is the
+    module's whole claim (ingest snapshot N+1 without rescanning
+    0..N). The HLL distinct estimate is engine-specific (Datasketches
+    binary) and stays pytest-pinned: it is dropped from this output."""
+    from reviews_quality_check_spark.operators.incremental_stats import (
+        compute_states,
+        merge_states,
+    )
+    from reviews_quality_check_spark.sources.planted import planted_suggest_docs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(planted_suggest_docs(spark))
+    )
+    states = compute_states(
+        d, "lang", numeric_cols=("doc_id", "n_chars"), string_cols=("source", "text")
+    )
+    return (
+        merge_states(states)
+        .drop("distinct_estimate")
+        .orderBy("col_name")
+    )
+
+
+def _incremental_oracle() -> str:
+    from reviews_quality_check_spark.sources.planted import sql_planted_suggest
+
+    arms = []
+    for c in ("doc_id", "n_chars"):
+        arms.append(f"""
+        SELECT '{c}' AS col_name, count(*) AS row_count,
+          cast(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) as bigint) AS null_count,
+          round(cast(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) as double)
+                / count(*) + 1e-9, 4) AS null_rate,
+          cast(min(cast({c} as decimal(38,6))) as varchar) AS min_value,
+          cast(max(cast({c} as decimal(38,6))) as varchar) AS max_value,
+          round(cast(sum(cast({c} as decimal(38,6))) as double)
+                / count({c}) + 1e-9, 4) AS mean_value
+        FROM docs""")
+    for c in ("source", "text"):
+        arms.append(f"""
+        SELECT '{c}', count(*),
+          cast(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) as bigint),
+          round(cast(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) as double)
+                / count(*) + 1e-9, 4),
+          min({c}), max({c}), cast(NULL as double)
+        FROM docs""")
+    return (
+        "WITH docs AS (SELECT doc_id, text, lang, source, n_chars FROM documents "
+        f"UNION ALL SELECT * FROM {sql_planted_suggest()}) "
+        + " UNION ALL ".join(arms)
+        + " ORDER BY col_name"
+    )
+
+
+ORACLES["incremental_profile"] = _incremental_oracle()

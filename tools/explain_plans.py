@@ -310,6 +310,12 @@ EXPECT: dict[str, dict] = {
         "plan_not_contains": "Join|Window|CartesianProduct",
         "read_cols_max": 3,                      # event_id, ts, event_type
     },
+    "incremental_profile": {
+        # states are per-partition combinable aggregates; the merge runs
+        # on O(partitions x columns) state rows — no join anywhere
+        "plan_not_contains": "Join|CartesianProduct|Window",
+        "read_cols_max": 5,
+    },
     "metric_anomalies": {
         # corpus-sized work = two combinable daily aggregates; the
         # anomaly window runs over the tiny per-day series; no join
