@@ -126,6 +126,16 @@ def suggest_constraints(
         if z == 0 and d == n:
             rows.append((c, "unique", "", None, None, 1.0))
         if c in string_cols and p["values"] is not None:
+            # params is comma-joined: a member containing the separator
+            # would silently split into wrong set members at build_suite
+            # time — refuse at emission rather than enforce a corrupted
+            # set (pathological for categorical columns; callers with
+            # comma-bearing categories should read the profile directly)
+            if any("," in v for v in p["values"]):
+                raise ValueError(
+                    f"in_set members for {c!r} contain the ',' separator; "
+                    "use profile_columns(...)['values'] directly"
+                )
             rows.append((c, "in_set", ",".join(p["values"]), None, None, float(d)))
         if c in numeric_cols and p["mn"] is not None:
             rows.append(

@@ -234,3 +234,11 @@ def test_runner_metrics_history_anomalies(spark, tmp_path):
     vol = [hist["en/__rows_scanned", s] for s in range(5)]
     assert [r["value"] for r in vol] == [21, 21, 21, 21, 29]
     assert vol[4]["rel_anomaly"] and vol[4]["z_anomaly"]
+
+
+def test_in_set_refuses_separator_bearing_members(spark):
+    import pytest as _pytest
+
+    rows = [(1, "a", "x,y", "w", 1), (2, "b", "z", "w", 2)]
+    with _pytest.raises(ValueError, match="separator"):
+        suggest_constraints(spark, _docs(spark, rows), ("doc_id",), ("lang",), max_card=5)
