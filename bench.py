@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "schema_check_documents",
     "freshness_verdicts",
     "incremental_profile",
+    "fd_verdicts",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

@@ -386,3 +386,50 @@ def freshness(ts_col: str, max_age_days: int, asof: str) -> AggCheck:
         threshold=float(max_age_days),
         requires=(ts_col,),
     )
+
+
+def functional_dependency(key_col: str, dep_col: str,
+                          max_violations: int = 0) -> AggCheck:
+    """Cross-column contract: ``key_col`` functionally determines
+    ``dep_col`` — metric = number of key values that map to MORE than
+    one distinct dependent value per partition (url -> canonical host,
+    doc_id -> source, product_id -> category...). The violation class
+    row-level checks cannot see: every row is individually fine, the
+    INCONSISTENCY is only visible across rows sharing a key.
+    Scale: two-phase distinct on (partition, key, dep) — map-side
+    partial dedup, then a key-grouped count bounded by key cardinality,
+    never a self-join. Null keys are excluded; null dependents don't
+    count as a value (both engines' count-distinct convention)."""
+
+    def plan(df: DataFrame, partition_col: str) -> DataFrame:
+        pairs = (
+            df.select(
+                F.col(partition_col).alias("partition_id"),
+                F.col(key_col).alias("__k"),
+                F.col(dep_col).alias("__d"),
+            )
+            .filter(F.col("__k").isNotNull())
+            .distinct()
+        )
+        per_key = pairs.groupBy("partition_id", "__k").agg(
+            F.count("__d").alias("__nd")  # count skips null deps
+        )
+        return (
+            per_key.groupBy("partition_id")
+            .agg(
+                F.sum((F.col("__nd") > 1).cast("long")).alias("__viol")
+            )
+            .select(
+                "partition_id",
+                F.col("__viol").cast("double").alias("metric_value"),
+                F.col("__viol").cast("long").alias("violation_count"),
+            )
+        )
+
+    return AggCheck(
+        name=f"fd_{key_col}_{dep_col}",
+        plan=plan,
+        op="<=",
+        threshold=float(max_violations),
+        requires=(key_col, dep_col),
+    )

@@ -6102,3 +6102,52 @@ def _incremental_oracle() -> str:
 
 
 ORACLES["incremental_profile"] = _incremental_oracle()
+
+
+@_register("fd_verdicts")
+def fd_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column functional-dependency contracts over documents
+    (plans/checks.functional_dependency): doc_id -> source HOLDS (unique
+    keys — the pass branch) while source -> lang is VIOLATED by every
+    source (they all span languages — the fail branch), both live at
+    every sf on natural data, no planting needed. Corpus-wide scope
+    (literal partition) because a per-lang partition would make the
+    source->lang dependency vacuously true inside each partition."""
+    from reviews_quality_check_spark.plans import checks as C
+    from reviews_quality_check_spark.plans.runner import SuiteRunner
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    suite = C.Suite(name="documents_fd", row_key="doc_id")
+    suite.add(C.functional_dependency("doc_id", "source"))
+    suite.add(C.functional_dependency("source", "lang"))
+    res = SuiteRunner(suite).run(d, F.lit("corpus"), resume=False)
+    return res.verdicts.select(
+        "partition_id",
+        "check_name",
+        "passed",
+        "violation_count",
+        F.round(F.col("metric_value") + 1e-9, 4).alias("metric_value"),
+        F.round("threshold", 4).alias("threshold"),
+    ).orderBy("check_name")
+
+
+ORACLES["fd_verdicts"] = """
+    WITH v_ds AS (
+      SELECT cast(count(*) as bigint) AS c FROM (
+        SELECT doc_id FROM documents WHERE doc_id IS NOT NULL
+        GROUP BY doc_id HAVING count(DISTINCT source) > 1)),
+    v_sl AS (
+      SELECT cast(count(*) as bigint) AS c FROM (
+        SELECT source FROM documents WHERE source IS NOT NULL
+        GROUP BY source HAVING count(DISTINCT lang) > 1))
+    SELECT 'corpus' AS partition_id, 'fd_doc_id_source' AS check_name,
+      c <= 0.0 AS passed, c AS violation_count,
+      round(cast(c as double) + 1e-9, 4) AS metric_value,
+      cast(0.0 as double) AS threshold
+    FROM v_ds
+    UNION ALL
+    SELECT 'corpus', 'fd_source_lang', c <= 0.0, c,
+      round(cast(c as double) + 1e-9, 4), cast(0.0 as double)
+    FROM v_sl
+    ORDER BY check_name
+"""

@@ -84,3 +84,43 @@ def test_freshness_boundary_and_stale(spark):
     got = {r["partition_id"]: r for r in res.verdicts.collect()}
     assert got["fresh"]["passed"] and got["fresh"]["metric_value"] == 7.0
     assert not got["stale"]["passed"] and got["stale"]["metric_value"] == 8.0
+
+
+def _docs_fd(spark, rows):
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("doc_id"),
+                (F.lit(k) if k is not None else F.lit(None)).cast("string").alias("k"),
+                (F.lit(v) if v is not None else F.lit(None)).cast("string").alias("v"),
+                F.lit(p).alias("part"),
+            )
+            for i, k, v, p in rows
+        ]
+    )
+    return spark.range(1).select(F.explode(arr).alias("r")).select("r.*")
+
+
+def test_functional_dependency_counts_and_nulls(spark):
+    # k=a maps to {x, y} -> 1 violating key; k=b maps to {x} twice -> ok;
+    # null key excluded; null dependent doesn't count as a value
+    d = _docs_fd(spark, [
+        (1, "a", "x", "p"),
+        (2, "a", "y", "p"),
+        (3, "b", "x", "p"),
+        (4, "b", "x", "p"),
+        (5, None, "z", "p"),
+        (6, "c", None, "p"),
+        (7, "c", "w", "p"),
+    ])
+    suite = C.Suite(name="fd", row_key="doc_id")
+    suite.add(C.functional_dependency("k", "v"))
+    res = SuiteRunner(suite).run(d, F.col("part"), resume=False)
+    r = res.verdicts.collect()[0]
+    assert r["check_name"] == "fd_k_v"
+    assert r["violation_count"] == 1 and not r["passed"]
+    # tolerance threshold: allow 1 inconsistent key -> passes
+    suite2 = C.Suite(name="fd2", row_key="doc_id")
+    suite2.add(C.functional_dependency("k", "v", max_violations=1))
+    r2 = SuiteRunner(suite2).run(d, F.col("part"), resume=False).verdicts.collect()[0]
+    assert r2["passed"]

@@ -310,6 +310,12 @@ EXPECT: dict[str, dict] = {
         "plan_not_contains": "Join|Window|CartesianProduct",
         "read_cols_max": 3,                      # event_id, ts, event_type
     },
+    "fd_verdicts": {
+        # two-phase distinct on (key, dep), key-grouped count — never a
+        # self-join; bounded by key cardinality
+        "plan_not_contains": "Join|CartesianProduct|Window",
+        "read_cols_max": 3,                      # doc_id, source, lang
+    },
     "incremental_profile": {
         # states are per-partition combinable aggregates; the merge runs
         # on O(partitions x columns) state rows — no join anywhere
