@@ -319,10 +319,13 @@ class SuiteRunner:
         # check + a __rows_scanned volume series) — the input
         # history_anomalies() reads. Written BEFORE lineage: lineage is
         # the commit marker, so a crash between the two re-processes the
-        # partition and dynamic-overwrite/append idempotency holds for
-        # everything written earlier within the same run_seq (the
-        # re-run appends a fresh run_id; history_anomalies orders by
-        # run_seq and keeps the LAST row per (series, run_seq)).
+        # partition on resume. history_anomalies keeps the LAST row per
+        # (series, run_seq), which makes the replay invisible WHEN the
+        # resume runs under the same run_seq — resume callers should
+        # pass the crashed run's run_seq explicitly; with auto-seq the
+        # replayed partition lands at a fresh seq instead (a duplicate
+        # history point with identical values, harmless to the
+        # detectors' thresholds but visible in the series).
         metrics = verdicts.select(
             F.lit(run_id).alias("run_id"),
             F.lit(int(run_seq)).cast("long").alias("run_seq"),
