@@ -242,3 +242,24 @@ def test_in_set_refuses_separator_bearing_members(spark):
     rows = [(1, "a", "x,y", "w", 1), (2, "b", "z", "w", 2)]
     with _pytest.raises(ValueError, match="separator"):
         suggest_constraints(spark, _docs(spark, rows), ("doc_id",), ("lang",), max_card=5)
+
+
+def test_metrics_replay_same_run_seq_keeps_one_history_point(spark, tmp_path):
+    """Crash-resume shape: re-running under the SAME explicit run_seq
+    appends a second physical row (fresh run_id) but history_anomalies
+    keeps one point per (series, seq) — the replay is invisible."""
+    from reviews_quality_check_spark.plans import checks as C
+
+    d = _docs(spark, [(i, None if i == 1 else "t", "en", "w", 1) for i in range(1, 6)])
+    suite = C.Suite(name="replay", row_key="doc_id")
+    suite.add(C.not_blank("text", max_rate=1.0))
+    runner = SuiteRunner(suite, out_dir=str(tmp_path / "out"))
+    runner.run(d, F.col("lang"), resume=False, run_seq=0)
+    runner.run(d, F.col("lang"), resume=False, run_seq=0)  # replay
+    m = spark.read.parquet(str(tmp_path / "out" / "metrics"))
+    # two physical rows per series (append mode), distinct run_ids...
+    assert m.filter(F.col("check_name") == "not_blank_text").count() == 2
+    # ...but exactly one history point per series at seq 0
+    hist = runner.history_anomalies(spark).collect()
+    pts = [(r["metric"], r["window_id"], r["value"]) for r in hist]
+    assert sorted(pts) == [("en/__rows_scanned", 0, 5), ("en/not_blank_text", 0, 1)]
