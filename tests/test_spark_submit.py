@@ -35,7 +35,8 @@ def _zip_package(tmp_path: Path) -> Path:
     return zpath
 
 
-def _submit(master: str, zpath: Path, out_dir: Path, resume: bool = False) -> int:
+def _submit(master: str, zpath: Path, out_dir: Path, resume: bool = False,
+            extra: tuple = ()) -> int:
     cmd = [
         "spark-submit",
         "--master", master,
@@ -49,6 +50,7 @@ def _submit(master: str, zpath: Path, out_dir: Path, resume: bool = False) -> in
     ]
     if resume:
         cmd.append("--resume")
+    cmd.extend(extra)
     proc = subprocess.run(
         cmd, cwd=REPO, capture_output=True, text=True, timeout=600
     )
@@ -87,3 +89,21 @@ def test_spark_submit_two_cluster_sizes_identical(tmp_path):
     rc_resume = _submit("local[2]", zpath, tmp_path / "out2", resume=True)
     assert rc_resume == rc2
     assert _read_verdicts(tmp_path / "out2") == v2
+
+    # a third full run with --history-anomalies: the cluster entrypoint
+    # exposes the run-over-run regression pass. History is per output
+    # dir — out2 now carries the initial run plus this one, identical
+    # values, so every committed point exists and none is flagged.
+    rc_hist = _submit(
+        "local[2]", zpath, tmp_path / "out2", extra=("--history-anomalies",)
+    )
+    assert rc_hist == rc2
+    import duckdb
+
+    anom = duckdb.sql(
+        f"SELECT metric, window_id, value, rel_anomaly, z_anomaly "
+        f"FROM '{tmp_path}/out2/anomalies/*.parquet' ORDER BY metric, window_id"
+    ).fetchall()
+    assert anom, "no anomaly history written"
+    # identical repeated runs: every committed point exists, none flagged
+    assert all(not r[3] and not r[4] for r in anom)

@@ -37,6 +37,14 @@ def main() -> int:
     p.add_argument("--text-col", default="text", help="text column for quality checks")
     p.add_argument("--resume", action="store_true", help="skip partitions already committed")
     p.add_argument("--violation-cap", type=int, default=1000)
+    p.add_argument("--run-seq", type=int, default=None,
+                   help="explicit run sequence for the metrics history "
+                        "(pass the crashed run's seq on resume; default "
+                        "auto-increments)")
+    p.add_argument("--history-anomalies", action="store_true",
+                   help="after the run, write run-over-run anomaly flags "
+                        "(rel-change + trailing-z over the metrics history) "
+                        "to <output>/anomalies")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,10 +65,20 @@ def main() -> int:
     runner = SuiteRunner(
         suite, out_dir=args.output, violation_cap_per_check=args.violation_cap
     )
-    res = runner.run(df, F.col(args.partition_col).cast("string"), resume=args.resume)
+    res = runner.run(
+        df, F.col(args.partition_col).cast("string"), resume=args.resume,
+        run_seq=args.run_seq,
+    )
     failed = res.verdicts.filter(~F.col("passed")).count()
     total = res.verdicts.count()
     print(f"[rqc] verdicts={total} failed_checks={failed} output={args.output}")
+    if args.history_anomalies:
+        # run-over-run regression flags from the committed metrics
+        # history (O(runs x partitions x checks) rows, never the corpus)
+        anom = runner.history_anomalies(spark)
+        anom.write.mode("overwrite").parquet(args.output + "/anomalies")
+        n_anom = anom.filter(F.col("rel_anomaly") | F.col("z_anomaly")).count()
+        print(f"[rqc] history_points={anom.count()} anomalies={n_anom}")
     spark.stop()
     return 0 if failed == 0 else 2
 
