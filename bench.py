@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "freshness_verdicts",
     "incremental_profile",
     "fd_verdicts",
+    "corr_nchars_words",
 ]
 
 # pages rows per unit SF (sf0.1 -> 300k synthetic pages)

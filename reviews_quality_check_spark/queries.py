@@ -6151,3 +6151,62 @@ ORACLES["fd_verdicts"] = """
     FROM v_sl
     ORDER BY check_name
 """
+
+
+@_register("corr_nchars_words")
+def corr_nchars_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-relationship profiling: per-lang Pearson correlation of
+    n_chars vs word count, computed from EXACT integer sums
+    (n, Sx, Sy, Sxy, Sxx, Syy in decimal(38,0) — n*Sxy overflows int64
+    at the 10^12 frame) with ONE double conversion at the end:
+    corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)),
+    identical op order in the DuckDB twin, so the value is
+    bit-deterministic — no engine corr() semantics involved. The last
+    Deequ-analyzer family (Correlation) the engine was missing; the
+    strong positive value is meaningful (chars track words), and the
+    single-scan combine-effective sums are the 10^12-safe shape."""
+    d = _t(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    x = F.col("n_chars").cast(dec)
+    y = F.size(TX.tokens("text")).cast(dec)
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / F.sqrt(vx * vy) + 1e-9, 4),
+        ).alias("pearson_r"),
+    ).orderBy("lang")
+
+
+ORACLES["corr_nchars_words"] = f"""
+    WITH sums AS (
+      SELECT lang,
+        cast(count(*) as hugeint) AS n,
+        sum(cast(n_chars as hugeint)) AS sx,
+        sum(cast(len({sql_tokens('text')}) as hugeint)) AS sy,
+        sum(cast(n_chars as hugeint) * cast(len({sql_tokens('text')}) as hugeint)) AS sxy,
+        sum(cast(n_chars as hugeint) * cast(n_chars as hugeint)) AS sxx,
+        sum(cast(len({sql_tokens('text')}) as hugeint)
+            * cast(len({sql_tokens('text')}) as hugeint)) AS syy
+      FROM documents GROUP BY lang)
+    SELECT lang, cast(n as bigint) AS n_docs,
+      CASE WHEN cast(n*sxx - sx*sx as double) > 0
+            AND cast(n*syy - sy*sy as double) > 0
+           THEN round(cast(n*sxy - sx*sy as double)
+                      / sqrt(cast(n*sxx - sx*sx as double)
+                             * cast(n*syy - sy*sy as double)) + 1e-9, 4)
+           END AS pearson_r
+    FROM sums ORDER BY lang
+"""

@@ -310,6 +310,12 @@ EXPECT: dict[str, dict] = {
         "plan_not_contains": "Join|Window|CartesianProduct",
         "read_cols_max": 3,                      # event_id, ts, event_type
     },
+    "corr_nchars_words": {
+        # one combine-effective sums aggregate per lang; no join/window
+        "plan_not_contains": "Join|Window|CartesianProduct",
+        "read_cols_max": 3,                      # lang, n_chars, text
+        "max_exchanges": 3,
+    },
     "fd_verdicts": {
         # two-phase distinct on (key, dep), key-grouped count — never a
         # self-join; bounded by key cardinality
