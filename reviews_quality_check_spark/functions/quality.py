@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from reviews_quality_check_spark.functions.arrays import lit_array_str
 from reviews_quality_check_spark.functions.text import tokens
 
 # Engine-canonical English stopword list (fixed, small — the reference used
@@ -36,7 +37,7 @@ LANG_PRIORITY: tuple[str, ...] = ("en", "es", "de", "fr")
 
 def stopword_ratio(tok: Column) -> Column:
     """Fraction of tokens that are canonical stopwords; 0.0 if no tokens."""
-    stops = F.array([F.lit(s) for s in STOPWORDS])
+    stops = lit_array_str(STOPWORDS)
     # NB: not array_intersect (it dedups) — count every stopword occurrence.
     n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stops, t)))
     return F.when(F.size(tok) > 0, n_stop.cast("double") / F.size(tok).cast("double")).otherwise(
@@ -91,7 +92,7 @@ def quality_score(col: Column | str) -> Column:
 
 def lang_marker_hits(tok: Column, lang: str) -> Column:
     """Number of tokens that are marker words of ``lang`` (with multiplicity)."""
-    markers = F.array([F.lit(m) for m in LANG_MARKERS[lang]])
+    markers = lit_array_str(LANG_MARKERS[lang])
     return F.size(F.filter(tok, lambda t: F.array_contains(markers, t)))
 
 
@@ -139,7 +140,7 @@ def _padded_trigrams(words: Column) -> Column:
 
 
 def lang_trigram_hits(tgs: Column, lang: str) -> Column:
-    prof = F.array(*[F.lit(t) for t in LANG_TRIGRAM_PROFILES[lang]])
+    prof = lit_array_str(LANG_TRIGRAM_PROFILES[lang])
     return F.size(F.filter(tgs, lambda t: F.array_contains(prof, t)))
 
 

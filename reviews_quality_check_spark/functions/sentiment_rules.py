@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reviews_quality_check_spark.functions.arrays import lit_array_str
 from reviews_quality_check_spark.functions.text import SENTENCE_SPLIT_RE, tokens
 
 # --- constants ported from the reference (data, not code) --------------------
@@ -122,17 +123,17 @@ def _substr_hits(text_lower: Column, phrases: tuple[str, ...]) -> Column:
     Array-literal + filter instead of N chained predicates: one loop in
     codegen instead of N branches (the phrase lists are 10-45 long and
     this chain appears ~8× per validation plan)."""
-    arr = F.array([F.lit(p) for p in phrases])
+    arr = lit_array_str(phrases)
     return F.size(F.filter(arr, lambda p: F.contains(text_lower, p)))
 
 
 def _substr_any(text_lower: Column, phrases: tuple[str, ...]) -> Column:
-    arr = F.array([F.lit(p) for p in phrases])
+    arr = lit_array_str(phrases)
     return F.exists(arr, lambda p: F.contains(text_lower, p))
 
 
 def _token_hits(tok: Column, words: tuple[str, ...]) -> Column:
-    arr = F.array([F.lit(w) for w in words])
+    arr = lit_array_str(words)
     return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
 
 
@@ -256,18 +257,108 @@ def validate_sentiment_columns(
     }
 
 
+def attach_validation(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "labeled",
+    domain_col: str = "domain",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Attach the 6 validation columns via STAGED projections.
+
+    Same formulas as validate_sentiment_columns, but every intermediate
+    (token hits, domain sentiment, pred/conf at each chain step) becomes
+    a real projected attribute before the next step references it. The
+    single-projection form duplicates the whole upstream chain inside
+    each output column (is_mismatch alone embeds predicted 3x and
+    confidence 2x), and because classic pyspark ANALYZES eagerly on
+    every Dataset construction, that multiplicative tree cost ~1 s of
+    JVM analyzer time per query (r6 measured; execution was negligible).
+    Staging keeps the tree linear; CollapseProject leaves the boundaries
+    alone because each staged alias is multiply-referenced and
+    non-cheap. ``keep`` retains named internal columns (e.g. "__pos")
+    for callers that derive extra model variants from the same hits.
+    """
+    text = F.col(text_col)
+    tl, tok = F.col("__tl"), F.col("__tok")
+    s0 = df.withColumns({"__tl": F.lower(text), "__tok": tokens(text)})
+    s1 = s0.withColumns(
+        {
+            "__pos": _token_hits(tok, SURROGATE_POSITIVE),
+            "__neg": _token_hits(tok, SURROGATE_NEGATIVE),
+            "__has_contrast": _substr_any(tl, CONTRAST_MARKERS),
+            "__nw": F.size(tok),
+            "__multi": F.size(F.split(text, SENTENCE_SPLIT_RE)) > 1,
+            "__dsent": domain_sentiment(tl, F.col(domain_col)),
+            "__ncount": _substr_hits(tl, NEUTRAL_INDICATORS),
+            "__has_ind": _substr_any(tl, NEUTRAL_INDICATORS),
+            "__has_pat": neutral_pattern_hit(tl),
+        }
+    )
+    pos, neg = F.col("__pos"), F.col("__neg")
+    pred0 = (
+        F.when(pos > neg, F.lit("positive"))
+        .when(neg > pos, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+    polar_conf = F.least(F.lit(0.98), F.lit(0.62) + F.lit(0.09) * F.abs(pos - neg).cast("double"))
+    neutral_conf = F.greatest(
+        F.lit(0.50), F.least(F.lit(0.88), F.lit(0.88) - F.lit(0.04) * (pos + neg).cast("double"))
+    )
+    s2 = s1.withColumns({"__pred0": pred0})
+    s2 = s2.withColumns(
+        {
+            "__conf0": F.when(F.col("__pred0") == "neutral", neutral_conf).otherwise(
+                polar_conf
+            )
+        }
+    )
+    dsent, p0, c0 = F.col("__dsent"), F.col("__pred0"), F.col("__conf0")
+    take_domain = dsent.isNotNull() & (dsent != p0) & (c0 < 0.80)
+    s3 = s2.withColumns(
+        {
+            "__pred1": F.when(take_domain, dsent).otherwise(p0),
+            "__conf1": F.when(take_domain, c0 * 0.85).otherwise(c0),
+        }
+    )
+    adj = F.col("__conf1")
+    adj = F.when(F.col("__has_contrast"), adj * 0.9).otherwise(adj)
+    adj = F.when(F.col("__multi") & (F.col("__nw") > 20), adj * 0.95).otherwise(adj)
+    adj = F.when(
+        F.col("__ncount") > 1, F.least(adj * 1.1, F.lit(1.0))
+    ).otherwise(adj)
+    override = F.col("__has_ind") | F.col("__has_pat")
+    s4 = s3.withColumns(
+        {
+            "predicted": F.when(override, F.lit("neutral")).otherwise(F.col("__pred1")),
+            "confidence": F.when(override, adj).otherwise(F.col("__conf1")),
+            "has_neutral_indicators": F.col("__has_ind"),
+            "has_neutral_patterns": F.col("__has_pat"),
+            "domain_sentiment": F.col("__dsent"),
+        }
+    )
+    labeled = F.col(label_col)
+    thr_neutral = F.lit(THRESHOLDS_BINARY["neutral"])
+    mismatch_neutral_label = (F.col("confidence") > thr_neutral) & (
+        F.col("predicted") != "neutral"
+    )
+    mismatch_other = (F.col("predicted") != labeled) & (
+        F.col("confidence") >= threshold_for(F.col("predicted"))
+    )
+    s5 = s4.withColumn(
+        "is_mismatch",
+        F.when(labeled == "neutral", mismatch_neutral_label).otherwise(mismatch_other),
+    )
+    internals = [
+        "__tl", "__tok", "__pos", "__neg", "__has_contrast", "__nw", "__multi",
+        "__dsent", "__ncount", "__has_ind", "__has_pat", "__pred0", "__conf0",
+        "__pred1", "__conf1",
+    ]
+    return s5.drop(*[c for c in internals if c not in keep])
+
+
 def validate_sentiments(df: DataFrame, text_col: str = "text",
                         label_col: str = "sentiment", domain_col: str = "domain") -> DataFrame:
-    """Attach the validation columns to a reviews-shaped DataFrame.
-
-    Stages lower(text) and the token array as real projected columns
-    first so the downstream ~100 substring/regex predicates reference
-    attributes instead of re-deriving the subtrees."""
-    staged = df.withColumns(
-        {"__tl": F.lower(F.col(text_col)), "__tok": tokens(F.col(text_col))}
-    )
-    cols = validate_sentiment_columns(
-        F.col(text_col), F.col(label_col), F.col(domain_col),
-        text_lower=F.col("__tl"), tok=F.col("__tok"),
-    )
-    return staged.withColumns(cols).drop("__tl", "__tok")
+    """Attach the validation columns to a reviews-shaped DataFrame
+    (staged projections — see attach_validation)."""
+    return attach_validation(df, text_col, label_col, domain_col)

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from reviews_quality_check_spark.functions.arrays import lit_array_double
+
 
 def dot(a: Column, b: Column) -> Column:
     # cast BEFORE multiplying: float*float would round to float32 and the
@@ -115,7 +117,7 @@ def band_bucket_exprs(
         bits = None
         for i in range(rows_per_band):
             p = _hyperplane_raw(dim, b * rows_per_band + i)
-            plane = F.array(*[F.lit(x) for x in p])
+            plane = lit_array_double(p)
             bit = F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
             bits = bit if bits is None else bits + bit
         out.append(bits.cast("long").alias(f"band{b}"))
@@ -373,7 +375,7 @@ def ivf_topk(
         centroids = [list(map(float, c)) for c in km.clusterCenters()]
 
     def dist2(vec: Column, center: list[float]) -> Column:
-        carr = F.array(*[F.lit(x) for x in center])
+        carr = lit_array_double(center)
         return F.aggregate(
             F.zip_with(vec, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
             F.lit(0.0),
@@ -428,7 +430,7 @@ def lsh_bucket_topk(
     def bucket_expr(vec: Column) -> Column:
         bits = []
         for i, p in enumerate(planes):
-            plane = F.array([F.lit(float(x)) for x in p])
+            plane = lit_array_double(p)
             bits.append(F.when(dot(vec, plane) >= 0, 1 << i).otherwise(0))
         out = bits[0]
         for b in bits[1:]:
@@ -508,7 +510,7 @@ def semdedup(
         centroids = [list(map(float, c)) for c in km.clusterCenters()]
 
     def dist2(vec: Column, center: list[float]) -> Column:
-        carr = F.array(*[F.lit(x) for x in center])
+        carr = lit_array_double(center)
         return F.aggregate(
             F.zip_with(
                 vec, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
@@ -531,7 +533,7 @@ def semdedup(
     def sign_cell(vec: Column) -> Column:
         out: Column | None = None
         for i, p in enumerate(planes):
-            parr = F.array(*[F.lit(float(x)) for x in p])
+            parr = lit_array_double(p)
             bit = F.when(dot(vec, parr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
             out = bit if out is None else out + bit
         return out.cast("int")

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reviews_quality_check_spark.functions.arrays import lit_array_str
+
 from reviews_quality_check_spark.functions.readability import flesch_reading_ease_fast
 
 # sentence incl. its trailing terminator run (engine-canonical
@@ -119,7 +121,7 @@ _P_WORD = r"[a-z]+"
 
 
 def _lit_arr(words: tuple[str, ...]) -> Column:
-    return F.array(*[F.lit(w) for w in words])
+    return lit_array_str(words)
 
 
 def _mini_tag(w: Column) -> Column:

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from reviews_quality_check_spark.functions.arrays import lit_array_str
+
 from reviews_quality_check_spark.functions.quality import STOPWORDS
 from reviews_quality_check_spark.functions.text import tokens, word_ngrams
 
@@ -22,7 +24,7 @@ from reviews_quality_check_spark.functions.text import tokens, word_ngrams
 def _ngram_col(text_col: str, n: int, remove_stopwords: bool):
     tok = tokens(text_col)
     if remove_stopwords:
-        stops = F.array([F.lit(s) for s in STOPWORDS])
+        stops = lit_array_str(STOPWORDS)
         tok = F.filter(tok, lambda t: ~F.array_contains(stops, t))
     return word_ngrams(tok, n)
 
@@ -45,7 +47,7 @@ def ngram_diversity(
     cheaper than anything that re-derives grams per element.
     """
     distinct_fn = F.countDistinct if exact else F.approx_count_distinct
-    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    stops = lit_array_str(STOPWORDS)
     tok = tokens(text_col)
     out = None
     for n, name in ((1, "unigram"), (2, "bigram"), (3, "trigram")):

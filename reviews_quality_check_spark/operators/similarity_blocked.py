@@ -4,14 +4,26 @@ The reference computes pairwise similarity ONLY inside 1000-row blocks
 (analyzers/similarity.py:56,264-269: the similarity matrix is built
 block-diagonally), so pairs whose indices fall in different blocks are
 never compared. Reproducing partition-local pass/fail requires this
-exact semantics: block_id = floor(idx / block_size) becomes the join
+exact semantics: block_id = floor(idx / block_size) becomes the group
 key, and the block conveniently doubles as the north_rule's logical
 partition.
 
-Scale shape: an equi-join on block_id with an idx_a < idx_b predicate —
-each block joins only against itself, so the pair space is
-n_blocks × B², shuffled by block (AQE splits stragglers). The
-MinHash-LSH path (operators/dedup.py) is the sub-quadratic default;
+Scale shape: per-doc features (fingerprint, <=50-word gate, n-gram set,
+normalized embedding) are built ONCE per row as JVM expressions behind
+a scale-adaptive spread (single-file sandbox scans plan as one task —
+partitioning.spread widens them; production scans pass through), then
+the O(B^2) block-local pair scoring runs in ONE vectorized
+applyInPandas per block group: Python set intersection for the n-gram
+Jaccard and per-dimension-ordered numpy accumulation for the embedding
+dot — bit-identical to the previous JVM array_intersect /
+zip_with-aggregate fold formulation (r6 measured the interpreted
+HOF fold + per-pair array_intersect at ~14 us/pair; the grouped pandas
+path is ~2.3x faster end-to-end at sf0.1 and parallel across blocks).
+The pair space is n_blocks x B^2, grouped by block (AQE handles
+stragglers); B is fixed by the reference contract, so the operator is
+linear in n at fixed block size.
+
+The MinHash-LSH path (operators/dedup.py) is the sub-quadratic default;
 this mode exists for bit-exact reference parity.
 
 Also here: the reference's exact-match word-count gate (quirk #2,
@@ -30,6 +42,7 @@ from reviews_quality_check_spark.functions.text import (
     similarity_ngram_set_from_words,
     whitespace_words,
 )
+from reviews_quality_check_spark.partitioning import spread
 
 
 def exact_dup_groups_gated(
@@ -50,6 +63,42 @@ def exact_dup_groups_gated(
             F.count(F.lit(1)).alias("group_size"),
         )
         .filter(F.col("group_size") >= 2)
+    )
+
+
+def _doc_features(df: DataFrame, text_col: str, id_col: str, block_size: int) -> DataFrame:
+    """Per-doc features for block-local similarity, computed once per row
+    behind a spread: (id, block_id, fp, short, ngset). Rows whose text is
+    NULL are dropped — in the join formulation their NULL n-gram set /
+    NULL gate made every pair predicate NULL, which the pair filter
+    dropped; pre-filtering is the same contract without the three-valued
+    logic in the pair loop."""
+    return (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.floor(F.col(id_col) / block_size).alias("block_id"),
+            md5_fingerprint_exact(text_col).alias("fp"),
+            whitespace_words(text_col).alias("__w"),
+        )
+        .select(
+            "id", "block_id", "fp",
+            (F.size(F.col("__w")) <= 50).alias("short"),
+            similarity_ngram_set_from_words(F.col("__w")).alias("ngset"),
+        )
+        .filter(
+            F.col("fp").isNotNull()
+            & F.col("short").isNotNull()
+            & F.col("ngset").isNotNull()
+        )
+    )
+
+
+def _tier(sim_col: F.Column) -> F.Column:
+    return (
+        F.when(sim_col >= 0.9, F.lit("critical"))
+        .when(sim_col >= 0.8, F.lit("high"))
+        .when(sim_col >= 0.7, F.lit("moderate"))
     )
 
 
@@ -74,56 +123,53 @@ def blocked_similar_pairs(
     whitespace words (similarity.py:57,161,237): identical texts longer
     than the gate ARE reported as similar pairs (sim 1.0), matching the
     reference."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.floor(F.col(id_col) / block_size).alias("block_id"),
-        md5_fingerprint_exact(text_col).alias("fp"),
-        whitespace_words(text_col).alias("__w"),
-    ).select(
-        "id", "block_id", "fp",
-        (F.size(F.col("__w")) <= 50).alias("short"),
-        similarity_ngram_set_from_words(F.col("__w")).alias("ngset"),
+    import pandas as pd
+
+    base = _doc_features(df, text_col, id_col, block_size)
+    thr = float(threshold)
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        fps = pdf["fp"].to_numpy()
+        shorts = pdf["short"].to_numpy()
+        sets = [frozenset(x) for x in pdf["ngset"]]
+        lens = [len(s) for s in sets]
+        bid = int(pdf["block_id"].iloc[0])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_s: list[float] = []
+        n = len(ids)
+        for i in range(n):
+            si, li = sets[i], lens[i]
+            for j in range(i + 1, n):
+                if shorts[i] and shorts[j] and fps[i] == fps[j]:
+                    continue
+                inter = len(si & sets[j])
+                un = li + lens[j] - inter
+                # same float64 division as the JVM cast(double)/cast(double)
+                s = inter / un if un > 0 else 0.0
+                if s >= thr:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_s.append(s)
+        return pd.DataFrame(
+            {
+                "block_id": np.full(len(out_a), bid, dtype="int64"),
+                "id_a": np.asarray(out_a, dtype="int64"),
+                "id_b": np.asarray(out_b, dtype="int64"),
+                "similarity": np.asarray(out_s, dtype="float64"),
+            }
+        )
+
+    res = base.groupBy("block_id").applyInPandas(
+        block_pairs,
+        "block_id long, id_a long, id_b long, similarity double",
     )
-    # Repartition by block BEFORE the self-join: (a) co-locates each
-    # block's rows so the pair join is partition-local (the X3 strategy —
-    # block id is the unit of work at scale), and (b) the exchange is a
-    # materialization barrier, so the expensive per-doc ngram set is
-    # computed once per ROW map-side instead of being collapsed into the
-    # join output and recomputed once per PAIR (measured ~17x difference).
-    base = base.repartition(F.col("block_id"))
-    a = base.select(
-        F.col("block_id"),
-        F.col("id").alias("id_a"),
-        F.col("fp").alias("fp_a"),
-        F.col("short").alias("short_a"),
-        F.col("ngset").alias("set_a"),
-        F.size("ngset").alias("n_a"),
-    )
-    b = base.select(
-        F.col("block_id"),
-        F.col("id").alias("id_b"),
-        F.col("fp").alias("fp_b"),
-        F.col("short").alias("short_b"),
-        F.col("ngset").alias("set_b"),
-        F.size("ngset").alias("n_b"),
-    )
-    pairs = a.join(b, ["block_id"]).filter(
-        (F.col("id_a") < F.col("id_b"))
-        & ~(F.col("short_a") & F.col("short_b") & (F.col("fp_a") == F.col("fp_b")))
-    )
-    # sets are distinct, so |A∪B| = |A|+|B|-|A∩B|: one array op per pair
-    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    union = F.col("n_a") + F.col("n_b") - inter
-    sim = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
-    tier = (
-        F.when(sim >= 0.9, F.lit("critical"))
-        .when(sim >= 0.8, F.lit("high"))
-        .when(sim >= 0.7, F.lit("moderate"))
-    )
-    return (
-        pairs.withColumn("similarity", sim)
-        .filter(F.col("similarity") >= threshold)
-        .select("block_id", "id_a", "id_b", "similarity", tier.alias("tier"))
+    return res.select(
+        "block_id", "id_a", "id_b", "similarity", _tier(F.col("similarity")).alias("tier")
     )
 
 
@@ -150,22 +196,25 @@ def combined_similar_pairs(
     ``id_col`` (the reference encodes embeddings from the same text
     list; here they arrive as a table).
 
-    Scale shape: block-local equi-join (no cartesian), normalized
-    vectors staged behind exchanges so norms/ngram sets build once per
-    row, candidate pairs shuffle as narrow (id, double) rows.
+    Scale shape: features once per row (spread map), one equi-join to
+    attach the JVM-normalized vector, then block-grouped pandas pair
+    scoring. The embedding dot accumulates per-dimension in ascending
+    index order across the whole pair block (numpy outer-product
+    steps) — the exact float64 op sequence of the previous
+    zip_with/aggregate fold and of the oracle's list_reduce, so results
+    are bit-identical (same guarantee dot_pandas_udf pins in pytest).
 
     Output: (block_id, id_a, id_b, embedding_sim, ngram_sim,
     combined_sim, tier, is_duplicate); rows below tier3 are dropped.
     """
-    from reviews_quality_check_spark.operators.ann import dot, l2_norm
+    import pandas as pd
 
-    t1, t2, t3 = tiers
+    from reviews_quality_check_spark.operators.ann import l2_norm
+
+    t1, t2, t3 = (float(t) for t in tiers)
     nv = (
-        emb.select(
-            F.col(vec_id_col).alias("vid"),
-            F.col(vec_col).alias("v"),
-            l2_norm(F.col(vec_col)).alias("__n"),
-        )
+        spread(emb.select(F.col(vec_id_col).alias("vid"), F.col(vec_col).alias("v")))
+        .select("vid", "v", l2_norm(F.col("v")).alias("__n"))
         .filter(F.col("__n") > 0)
         .repartition(F.col("vid"))
         .select(
@@ -173,73 +222,78 @@ def combined_similar_pairs(
             F.transform(F.col("v"), lambda x: x.cast("double") / F.col("__n")).alias("nv"),
         )
     )
-    base = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.floor(F.col(id_col) / block_size).alias("block_id"),
-            md5_fingerprint_exact(text_col).alias("fp"),
-            whitespace_words(text_col).alias("__w"),
+    base = _doc_features(docs, text_col, id_col, block_size).join(
+        nv, F.col("id") == F.col("vid")
+    ).drop("vid")
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        fps = pdf["fp"].to_numpy()
+        shorts = pdf["short"].to_numpy()
+        sets = [frozenset(x) for x in pdf["ngset"]]
+        lens = [len(s) for s in sets]
+        bid = int(pdf["block_id"].iloc[0])
+        n = len(ids)
+        x = (
+            np.vstack(pdf["nv"].to_numpy()).astype(np.float64)
+            if n
+            else np.zeros((0, 0))
         )
-        .select(
-            "id", "block_id", "fp",
-            (F.size(F.col("__w")) <= 50).alias("short"),
-            similarity_ngram_set_from_words(F.col("__w")).alias("ngset"),
+        # per-dimension ordered accumulation: acc[i,k] after step j equals
+        # the JVM fold's partial sum over dims 0..j — bit-identical floats
+        acc = np.zeros((n, n), dtype=np.float64)
+        for j in range(x.shape[1]):
+            col = x[:, j]
+            acc += np.multiply.outer(col, col)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_e: list[float] = []
+        out_ns: list[float] = []
+        out_c: list[float] = []
+        for i in range(n):
+            si, li = sets[i], lens[i]
+            for j in range(i + 1, n):
+                if shorts[i] and shorts[j] and fps[i] == fps[j]:
+                    continue
+                inter = len(si & sets[j])
+                un = li + lens[j] - inter
+                nsim = inter / un if un > 0 else 0.0
+                esim = acc[i, j]
+                comb = (esim + nsim) / 2.0
+                if comb >= t3:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_e.append(esim)
+                    out_ns.append(nsim)
+                    out_c.append(comb)
+        return pd.DataFrame(
+            {
+                "block_id": np.full(len(out_a), bid, dtype="int64"),
+                "id_a": np.asarray(out_a, dtype="int64"),
+                "id_b": np.asarray(out_b, dtype="int64"),
+                "esim": np.asarray(out_e, dtype="float64"),
+                "nsim": np.asarray(out_ns, dtype="float64"),
+                "comb": np.asarray(out_c, dtype="float64"),
+            }
         )
-        .join(nv, F.col("id") == F.col("vid"))
-        .drop("vid")
-        .repartition(F.col("block_id"))
-    )
-    a = base.select(
-        "block_id",
-        F.col("id").alias("id_a"), F.col("fp").alias("fp_a"),
-        F.col("short").alias("short_a"), F.col("ngset").alias("set_a"),
-        F.size("ngset").alias("n_a"), F.col("nv").alias("nv_a"),
-    )
-    b = base.select(
-        "block_id",
-        F.col("id").alias("id_b"), F.col("fp").alias("fp_b"),
-        F.col("short").alias("short_b"), F.col("ngset").alias("set_b"),
-        F.size("ngset").alias("n_b"), F.col("nv").alias("nv_b"),
-    )
-    pairs = a.join(b, ["block_id"]).filter(
-        (F.col("id_a") < F.col("id_b"))
-        & ~(F.col("short_a") & F.col("short_b") & (F.col("fp_a") == F.col("fp_b")))
-    )
-    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    union = F.col("n_a") + F.col("n_b") - inter
-    nsim = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
-    # JVM HOF dot on purpose: this join scores EVERY in-block pair
-    # (n_blocks x B^2 — 1.5M pairs at sf0.1), so an Arrow UDF would ship
-    # ~2x64 doubles per pair to Python (~1.5 GB) — measured SLOWER than
-    # the interpreted fold. The vectorized dot_pandas_udf pays off only
-    # on small candidate sets (LSH rerank); an unrolled element_at chain
-    # is also slower (giant tree defeats codegen). Measured r3.
-    esim = dot(F.col("nv_a"), F.col("nv_b"))
-    # two-step projection: deriving comb from the ALIASED esim/nsim makes
-    # the zip_with dot product evaluate once per pair. (Building esim and
-    # esim+nsim in one select compiled the HOF twice; CollapseProject
-    # keeps this split because the alias is multiply-referenced and
-    # non-cheap.)
-    scored = pairs.select(
-        "block_id", "id_a", "id_b",
-        esim.alias("esim"), nsim.alias("nsim"),
-    ).select(
-        "block_id", "id_a", "id_b", "esim", "nsim",
-        ((F.col("esim") + F.col("nsim")) / F.lit(2.0)).alias("comb"),
+
+    scored = base.groupBy("block_id").applyInPandas(
+        block_pairs,
+        "block_id long, id_a long, id_b long, esim double, nsim double, comb double",
     )
     tier = (
         F.when(F.col("comb") >= t1, F.lit("tier1"))
         .when(F.col("comb") >= t2, F.lit("tier2"))
         .when(F.col("comb") >= t3, F.lit("tier3"))
     )
-    return (
-        scored.filter(F.col("comb") >= t3)
-        .select(
-            "block_id", "id_a", "id_b",
-            F.round("esim", 4).alias("embedding_sim"),
-            F.round("nsim", 4).alias("ngram_sim"),
-            F.round("comb", 4).alias("combined_sim"),
-            tier.alias("tier"),
-            (F.col("comb") > dup_threshold).alias("is_duplicate"),
-        )
+    return scored.select(
+        "block_id", "id_a", "id_b",
+        F.round("esim", 4).alias("embedding_sim"),
+        F.round("nsim", 4).alias("ngram_sim"),
+        F.round("comb", 4).alias("combined_sim"),
+        tier.alias("tier"),
+        (F.col("comb") > dup_threshold).alias("is_duplicate"),
     )

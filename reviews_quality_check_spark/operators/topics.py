@@ -24,12 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from reviews_quality_check_spark.functions.arrays import lit_array_str
+
 from reviews_quality_check_spark.functions.quality import STOPWORDS
 from reviews_quality_check_spark.functions.text import tokens
 
 
 def _token_df(df: DataFrame, text_col: str, id_col: str, min_tokens: int = 3) -> DataFrame:
-    stops = F.array([F.lit(s) for s in STOPWORDS])
+    stops = lit_array_str(STOPWORDS)
     tok = F.filter(tokens(text_col), lambda t: ~F.array_contains(stops, t))
     return (
         df.select(F.col(id_col).alias("doc_id"), tok.alias("tokens"))
@@ -346,7 +348,7 @@ def merge_phrases(
         .select(F.concat_ws(delimiter, "word_a", "word_b").alias("m"))
         .collect()
     )
-    phrase_set = F.array(*[F.lit(r["m"]) for r in merged_rows]) if merged_rows else F.array().cast("array<string>")
+    phrase_set = lit_array_str([r["m"] for r in merged_rows])
 
     toks = _token_df(df, text_col, id_col)
 

@@ -23,6 +23,8 @@ from reviews_quality_check_spark.functions.quality import (
     LANG_PRIORITY,
     STOPWORDS,
 )
+from reviews_quality_check_spark.functions import arrays as AR
+from reviews_quality_check_spark.partitioning import spread as _spread
 from reviews_quality_check_spark.functions import quality as Q
 from reviews_quality_check_spark.functions import readability as R
 from reviews_quality_check_spark.functions import sentiment_rules as SR
@@ -971,7 +973,7 @@ def sentiment_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference sentiment-validation chain (F15-F24, quirks #3-#5)
     over documents with a deterministic pseudo-label (doc_id % 3) and
     domain='technology'. Every step is a Column expression."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     labeled = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("positive"))
         .when(F.col("doc_id") % 3 == 1, F.lit("negative"))
@@ -979,13 +981,9 @@ def sentiment_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select(
         "doc_id", "text", labeled.alias("labeled"), F.lit("technology").alias("domain")
-    ).withColumns({"__tl": F.lower(F.col("text")), "__tok": TX.tokens("text")})
-    cols = SR.validate_sentiment_columns(
-        F.col("text"), F.col("labeled"), F.col("domain"),
-        text_lower=F.col("__tl"), tok=F.col("__tok"),
     )
     return (
-        base.withColumns(cols)
+        SR.attach_validation(base)
         .select(
             "doc_id",
             "labeled",
@@ -1004,7 +1002,7 @@ ORACLES["sentiment_validation"] = _sentiment_sql()
 def sentiment_mismatch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mismatch counts + conditional mean confidence over
     mismatches (A4, review_analysis.py:313-315)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     labeled = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("positive"))
         .when(F.col("doc_id") % 3 == 1, F.lit("negative"))
@@ -1012,12 +1010,8 @@ def sentiment_mismatch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select(
         "doc_id", "text", labeled.alias("labeled"), F.lit("technology").alias("domain")
-    ).withColumns({"__tl": F.lower(F.col("text")), "__tok": TX.tokens("text")})
-    cols = SR.validate_sentiment_columns(
-        F.col("text"), F.col("labeled"), F.col("domain"),
-        text_lower=F.col("__tl"), tok=F.col("__tok"),
     )
-    v = base.withColumns(cols)
+    v = SR.attach_validation(base)
     return (
         v.groupBy("labeled")
         .agg(
@@ -1176,7 +1170,7 @@ def suite_profile_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     srcs = [f"src{i}" for i in range(20)]
     dim = spark.range(1).select(
-        F.explode(F.array(*[F.lit(s) for s in srcs])).alias("src")
+        F.explode(AR.lit_array_str(srcs)).alias("src")
     )
     suite = C.Suite(name="documents_profile", row_key="doc_id")
     suite.add(C.not_null("n_chars"))
@@ -2297,7 +2291,7 @@ def vocabulary_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     top30 = freq.orderBy(F.desc("c"), F.asc("t")).limit(30).select(
         F.col("t").alias("t"), F.lit(True).alias("__common")
     )
-    stops = F.array(*[F.lit(s) for s in sorted(STOPWORDS)])
+    stops = AR.lit_array_str(sorted(STOPWORDS))
     j = tok.join(F.broadcast(top30), "t", "left").select(
         "doc_id", "lang",
         "t",
@@ -3267,7 +3261,7 @@ def url_blocklist_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bl = spark.range(1).select(
-        F.explode(F.array(*[F.lit(x) for x in _BLOCKED_DOMAINS])).alias("bd")
+        F.explode(AR.lit_array_str(_BLOCKED_DOMAINS)).alias("bd")
     )
     blocked_path = F.col("path").endswith("/p5.html")
     return (
@@ -4116,7 +4110,7 @@ def sentiment_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accuracy + per-class F1 + macro-F1 of the surrogate-chain
     prediction vs the pseudo-label (A14, multi_model_sentiment_eval.py:
     107-108 re-expressed as per-class TP/FP/FN group-bys)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     labeled = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("positive"))
         .when(F.col("doc_id") % 3 == 1, F.lit("negative"))
@@ -4124,12 +4118,8 @@ def sentiment_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select(
         "doc_id", "text", labeled.alias("labeled"), F.lit("technology").alias("domain")
-    ).withColumns({"__tl": F.lower(F.col("text")), "__tok": TX.tokens("text")})
-    cols = SR.validate_sentiment_columns(
-        F.col("text"), F.col("labeled"), F.col("domain"),
-        text_lower=F.col("__tl"), tok=F.col("__tok"),
     )
-    v = base.withColumns(cols).select("labeled", "predicted")
+    v = SR.attach_validation(base).select("labeled", "predicted")
     classes = ["positive", "negative", "neutral"]
     aggs = [
         F.round(F.avg((F.col("labeled") == F.col("predicted")).cast("double")) + 1e-9, 4).alias("accuracy")
@@ -4242,7 +4232,7 @@ def multi_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the same plan shape. One pass over the corpus: all model
     predictions are computed per row and exploded as a (model_name,
     predicted) dimension before the grouped metric aggregation."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     labeled = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("positive"))
         .when(F.col("doc_id") % 3 == 1, F.lit("negative"))
@@ -4250,13 +4240,8 @@ def multi_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select(
         "doc_id", "text", labeled.alias("labeled"), F.lit("technology").alias("domain")
-    ).withColumns({"__tl": F.lower(F.col("text")), "__tok": TX.tokens("text")})
-    cols = SR.validate_sentiment_columns(
-        F.col("text"), F.col("labeled"), F.col("domain"),
-        text_lower=F.col("__tl"), tok=F.col("__tok"),
     )
-    pos = SR._token_hits(F.col("__tok"), SR.SURROGATE_POSITIVE)
-    neg = SR._token_hits(F.col("__tok"), SR.SURROGATE_NEGATIVE)
+    pos, neg = F.col("__pos"), F.col("__neg")
     pred_base = (
         F.when(pos > neg, F.lit("positive"))
         .when(neg > pos, F.lit("negative"))
@@ -4267,7 +4252,7 @@ def multi_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(neg - pos >= 2, F.lit("negative"))
         .otherwise(F.lit("neutral"))
     )
-    v = base.withColumns(cols).select(
+    v = SR.attach_validation(base, keep=("__pos", "__neg")).select(
         "labeled",
         F.explode(
             F.array(

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reviews_quality_check_spark.functions.arrays import lit_array_str
+
 VALID_LANGS = ("en", "es", "de", "fr", "it", "pt", "nl", "zh")
 _WORDS = (
     "data quality spark engine table scan filter join group window "
@@ -51,7 +53,7 @@ def synth_pages(spark: SparkSession, n_rows: int, n_days: int = 7, seed: int = 4
     # text: 8..40 words drawn deterministically; planted dup/near-dup/empty
     n_words = (h("len") % 33 + 8).cast("int")
     word_at = lambda i: F.element_at(  # noqa: E731
-        F.array([F.lit(w) for w in _WORDS]),
+        lit_array_str(_WORDS),
         (F.abs(F.xxhash64(F.col("row_idx"), F.lit(seed), F.lit("w"), i)) % len(_WORDS) + 1).cast("int"),
     )
     base_words = F.transform(F.sequence(F.lit(1), n_words), word_at)
@@ -62,7 +64,7 @@ def synth_pages(spark: SparkSession, n_rows: int, n_days: int = 7, seed: int = 4
     near_src = F.transform(
         F.sequence(F.lit(1), F.lit(12)),
         lambda i: F.element_at(
-            F.array([F.lit(w) for w in _WORDS]),
+            lit_array_str(_WORDS),
             (F.abs(F.xxhash64((F.col("row_idx") / 2).cast("long"), F.lit(seed), F.lit("w"), i)) % len(_WORDS) + 1).cast("int"),
         ),
     )
@@ -84,7 +86,7 @@ def synth_pages(spark: SparkSession, n_rows: int, n_days: int = 7, seed: int = 4
         .when(h("lang") % 100 < 70, F.lit("en"))
         .otherwise(
             F.element_at(
-                F.array([F.lit(lg) for lg in VALID_LANGS[1:]]),
+                lit_array_str(VALID_LANGS[1:]),
                 (h("lang2") % (len(VALID_LANGS) - 1) + 1).cast("int"),
             )
         )

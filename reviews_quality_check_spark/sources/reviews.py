@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reviews_quality_check_spark.functions.arrays import lit_array_str
+
 # template pool: fragments chosen to hit reference rule branches
 _TEMPLATES = (
     "This product is good and works great",
@@ -65,7 +67,7 @@ def synth_reviews(spark: SparkSession, n_rows: int, seed: int = 42,
         return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
 
     tpl = F.element_at(
-        F.array([F.lit(t) for t in _TEMPLATES]),
+        lit_array_str(_TEMPLATES),
         (h("tpl") % len(_TEMPLATES) + 1).cast("int"),
     )
     # suffix varies texts so they aren't all duplicates; dup rows skip it
@@ -75,13 +77,13 @@ def synth_reviews(spark: SparkSession, n_rows: int, seed: int = 42,
 
     # fixed 45/35/20 label distribution (FIXTURES.md §2)
     sentiment = F.element_at(
-        F.array([F.lit(s) for s in SENTIMENTS]),
+        lit_array_str(SENTIMENTS),
         F.when(h("sent") % 100 < 45, F.lit(1))
         .when(h("sent") % 100 < 80, F.lit(2))
         .otherwise(F.lit(3)),
     )
     domain = F.element_at(
-        F.array([F.lit(d) for d in DOMAINS]),
+        lit_array_str(DOMAINS),
         F.when(h("dom") % 100 < 80, F.lit(1)).otherwise(F.lit(2)),
     )
     return df.select(
