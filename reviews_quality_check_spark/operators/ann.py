@@ -58,28 +58,23 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k,
     deterministic tie-break on neighbor id. Self-matches excluded.
     """
+    from reviews_quality_check_spark.partitioning import spread
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("nq"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("nc"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-        )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _cosine_rerank(scored, k)
 
 
 def md5_unit(salt: str) -> float:
@@ -234,6 +229,106 @@ def dot_pandas_udf():
     return pandas_udf("double")(_dot)
 
 
+def cell_ranks_pandas_udf(centroids: list[list[float]], dim: int):
+    """Arrow-vectorized twin of the dist2/array_sort cell-ranking
+    expression: per-centroid squared distance accumulated per-dimension
+    in the same left-to-right order as the zip_with/aggregate fold
+    (acc = acc + (x_j - c_j)*(x_j - c_j), acc0 = 0.0), then a STABLE
+    argsort over (distance, cell) — ties keep ascending cell order
+    exactly like array_sort on the (d, cell) struct. Bit-identical to
+    the expression path for well-formed vectors (pytest-pinned);
+    malformed rows (null / wrong length) return null ranks and drop out
+    of the probe join, same narrowing as band_buckets_pandas_udf."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array(centroids, dtype=np.float64)
+
+    def _ranks(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        arrs = v.to_numpy()
+        good = np.array(
+            [a is not None and len(a) == dim for a in arrs], dtype=bool
+        )
+        res = [None] * len(arrs)
+        if good.any():
+            x = np.vstack(arrs[good]).astype(np.float64)
+            n = x.shape[0]
+            k = cmat.shape[0]
+            d = np.empty((n, k), dtype=np.float64)
+            for ci in range(k):
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(dim):  # same fold order as dist2()
+                    t = x[:, j] - cmat[ci, j]
+                    acc = acc + t * t
+                d[:, ci] = acc
+            order = np.argsort(d, axis=1, kind="stable").astype(np.int32)
+            for idx, row in zip(np.flatnonzero(good), order):
+                res[idx] = row
+        return pd.Series(res)
+
+    _ranks.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf("array<int>")(_ranks)
+
+
+def sign_cells_pandas_udf(planes: list[list[float]], dim: int):
+    """Arrow-vectorized hyperplane-sign cell id: bit i set when
+    dot(v, planes[i]) >= 0, dot accumulated per-dimension in fold order
+    (same guarantee as band_buckets_pandas_udf, arbitrary plane list).
+    Malformed rows get cell 0 — the expression path's
+    when(...).otherwise(0) bits summed to 0 for null dots, so this
+    matches it exactly rather than narrowing."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pmat = np.array(planes, dtype=np.float64)
+
+    def _cells(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        arrs = v.to_numpy()
+        good = np.array(
+            [a is not None and len(a) == dim for a in arrs], dtype=bool
+        )
+        out = np.zeros(len(arrs), dtype=np.int32)
+        if good.any():
+            x = np.vstack(arrs[good]).astype(np.float64)
+            n = x.shape[0]
+            cells = np.zeros(n, dtype=np.int32)
+            for i in range(pmat.shape[0]):
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(dim):  # same fold order as dot()
+                    acc = acc + x[:, j] * pmat[i, j]
+                cells |= (acc >= 0).astype(np.int32) << i
+            out[np.flatnonzero(good)] = cells
+        return pd.Series(out)
+
+    _cells.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf("int")(_cells)
+
+
+def _cosine_rerank(scored_pairs: DataFrame, k: int) -> DataFrame:
+    """Shared rerank tail: (query_id, neighbor_id, qv, cv, nq, nc) ->
+    top-k by exact cosine. Norms are computed ONCE PER ROW before the
+    pair join (the old per-pair cosine() fold re-derived both norms per
+    candidate — l2_norm is deterministic, so the values are identical);
+    the dot crosses to Python once per candidate pair via the
+    bit-identical vectorized dot (guide §4: candidate sets are small
+    after bucketing, so the Arrow transfer is bounded)."""
+    denom = F.col("nq") * F.col("nc")
+    cos = F.when(
+        denom > 0, dot_pandas_udf()(F.col("qv"), F.col("cv")) / denom
+    ).otherwise(F.lit(0.0))
+    scored = scored_pairs.select(
+        "query_id", "neighbor_id", cos.alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def near_dup_pairs_lsh(
     df: DataFrame,
     dim: int,
@@ -366,6 +461,8 @@ def ivf_topk(
     corpus scan is one pass; the probe join fans each query out to
     n_probe cells only.
     """
+    from reviews_quality_check_spark.partitioning import spread
+
     if centroids is None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -374,41 +471,25 @@ def ivf_topk(
         km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
         centroids = [list(map(float, c)) for c in km.clusterCenters()]
 
-    def dist2(vec: Column, center: list[float]) -> Column:
-        carr = lit_array_double(center)
-        return F.aggregate(
-            F.zip_with(vec, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def cell_ranks(vec: Column) -> Column:
-        """array of cell ids ordered by ascending distance."""
-        pairs = F.array(
-            *[
-                F.struct(dist2(vec, c).alias("d"), F.lit(i).alias("cell"))
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.transform(F.array_sort(pairs), lambda s: s.getField("cell"))
-
-    c = corpus.select(
+    dim = len(centroids[0])
+    ranks_udf = cell_ranks_pandas_udf(centroids, dim)
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.element_at(cell_ranks(F.col(vec_col)), 1).alias("cell"),
+        l2_norm(F.col(vec_col)).alias("nc"),
+        F.element_at(ranks_udf(F.col(vec_col)), 1).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(F.slice(cell_ranks(F.col(vec_col)), 1, n_probe)).alias("cell"),
+        l2_norm(F.col(vec_col)).alias("nq"),
+        F.explode(F.slice(ranks_udf(F.col(vec_col)), 1, n_probe)).alias("cell"),
     )
     scored = (
         c.join(q, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _cosine_rerank(scored, k)
 
 
 def lsh_bucket_topk(
@@ -425,8 +506,16 @@ def lsh_bucket_topk(
     2^num_planes. The scale path for corpus × corpus self-search.
     Unnormalized md5-derived planes (sign-equivalent) so a SQL oracle
     reproduces the buckets exactly."""
+    from reviews_quality_check_spark.partitioning import spread
+
     planes = [_hyperplane_raw(dim, i) for i in range(num_planes)]
 
+    # expression path on purpose: behind the spread the bucket fold is
+    # ~num_planes*dim interpreted ops per row across every core, and the
+    # per-bucket candidate sets are tiny (2^num_planes buckets), so the
+    # pandas machinery's extra Arrow stages cost more than they save
+    # here (r6 measured 1.1s expr vs 1.7s pandas at sf0.1) — the
+    # opposite trade from ivf_topk's 8-centroid ranking.
     def bucket_expr(vec: Column) -> Column:
         bits = []
         for i, p in enumerate(planes):
@@ -437,7 +526,7 @@ def lsh_bucket_topk(
             out = out + b
         return out
 
-    c = corpus.select(
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         bucket_expr(F.col(vec_col)).alias("bucket"),
@@ -530,52 +619,75 @@ def semdedup(
             F.transform(F.array_sort(pairs), lambda s: s.getField("cell")), 1
         )
 
-    def sign_cell(vec: Column) -> Column:
-        out: Column | None = None
-        for i, p in enumerate(planes):
-            parr = lit_array_double(p)
-            bit = F.when(dot(vec, parr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-            out = bit if out is None else out + bit
-        return out.cast("int")
+    import pandas as pd
 
-    cell_expr = sign_cell if planes is not None else nearest_cell
-    cells = corpus.select(
+    from reviews_quality_check_spark.partitioning import spread
+
+    if planes is not None:
+        cell_col = sign_cells_pandas_udf(planes, dim)(F.col(vec_col))
+    else:
+        cell_col = nearest_cell(F.col(vec_col))
+    cells = spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
-        cell_expr(F.col(vec_col)).alias("cell"),
+        cell_col.alias("cell"),
     )
-    # exchange as materialization barrier: stops Catalyst re-deriving the
-    # norm + quantizer expression chain on both self-join branches, and
-    # co-locates each cell's block for the pair stage
-    cells = cells.repartition("cell")
-    a = cells.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cell"
-    )
-    b = cells.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cell"
-    )
-    # cosine >= t  <=>  dot >= t*na*nb (norms > 0): one fold per pair
-    # instead of dot + two norms; zero-norm vectors never pair (keep=true),
-    # matching the guarded-cosine convention
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter((F.col("na") > 0) & (F.col("nb") > 0))
-        .filter(
-            dot(F.col("va"), F.col("vb"))
-            >= F.lit(threshold) * F.col("na") * F.col("nb")
+    thr = float(threshold)
+
+    # Per-cell verdicts in one grouped pandas pass (the O(sum B_c^2)
+    # published contract, vectorized): the pair test
+    # cosine >= t <=> dot >= (t*na)*nb runs as a per-dimension-ordered
+    # accumulation over the cell's pair matrix — the exact float64 op
+    # sequence of the old per-pair zip_with/aggregate fold, so verdicts
+    # are bit-identical. Zero-norm / malformed vectors never pair
+    # (keep=true), matching the guarded-cosine convention. Emitting
+    # (vec_id, cell, keep) for every member directly also removes the
+    # old broadcast join-back of the dropped set (one job less).
+    def cell_verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        raw_cell = pdf["cell"].iloc[0]
+        bid = int(raw_cell) if pd.notna(raw_cell) else None
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64, na_value=np.nan)
+        vs = pdf["v"].to_numpy()
+        valid = np.array(
+            [
+                (n > 0) and (v is not None) and (len(v) == dim)
+                for n, v in zip(nrm, vs)
+            ],
+            dtype=bool,
         )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("_dropped", F.lit(True))
-    )
+        keep = np.ones(len(ids), dtype=bool)
+        vi = np.flatnonzero(valid)
+        m = len(vi)
+        if m >= 2:
+            x = np.vstack(vs[vi]).astype(np.float64)
+            acc = np.zeros((m, m), dtype=np.float64)
+            for j in range(x.shape[1]):  # same fold order as dot()
+                col = x[:, j]
+                acc += np.multiply.outer(col, col)
+            tn = thr * nrm[vi]  # (t * na), then * nb — original op order
+            thresh = np.multiply.outer(tn, nrm[vi])
+            hit = acc >= thresh
+            # only i < j pairs drop j (ids ascending == index ascending)
+            dropped = np.zeros(m, dtype=bool)
+            for jj in range(1, m):
+                if hit[:jj, jj].any():
+                    dropped[jj] = True
+            keep[vi[dropped]] = False
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype("int64"),
+                "cell": pd.array([bid] * len(ids), dtype="Int32"),
+                "keep": keep,
+            }
+        )
+
     return (
-        cells.join(F.broadcast(dropped), "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
-        )
+        cells.groupBy("cell")
+        .applyInPandas(cell_verdicts, "vec_id long, cell int, keep boolean")
         .orderBy("vec_id")
     )
