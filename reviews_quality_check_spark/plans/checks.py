@@ -197,22 +197,25 @@ def predicate(name: str, keep: Column, max_rate: float = 0.0) -> RowCheck:
 
 
 def uniqueness(column: str, salt_buckets: int = 64) -> AggCheck:
-    """Uniqueness via salted two-phase hash aggregate (north_rule skew
-    handling): metric = duplicated-key count per partition."""
+    """Uniqueness via two-phase hash aggregate: metric = duplicated-key
+    count per partition.
+
+    Skew note (r6): the count aggregate is algebraic, so Spark's
+    map-side partial aggregation IS the salt phase — a key duplicated a
+    billion times reduces to at most one partial row per map task
+    before the exchange, which bounds any reducer's input to
+    n_map_tasks rows per key. The previous explicit
+    (key, random-salt) pre-aggregation added a full extra shuffle of
+    every row for protection the hash aggregate already provides
+    (explicit salting remains the right tool for NON-algebraic
+    aggregates — see operators/dedup.salted_uniqueness_violations).
+    ``salt_buckets`` is kept for signature compatibility."""
 
     def plan(df: DataFrame, partition_col: str) -> DataFrame:
-        from pyspark.sql.functions import monotonically_increasing_id, pmod, xxhash64
-
-        salt = pmod(xxhash64(monotonically_increasing_id()), F.lit(salt_buckets))
-        partial = (
-            df.select(F.col(partition_col).alias("partition_id"), F.col(column).alias("key"))
-            .withColumn("_salt", salt)
-            .groupBy("partition_id", "key", "_salt")
-            .agg(F.count(F.lit(1)).alias("_c"))
-        )
         return (
-            partial.groupBy("partition_id", "key")
-            .agg(F.sum("_c").alias("cnt"))
+            df.select(F.col(partition_col).alias("partition_id"), F.col(column).alias("key"))
+            .groupBy("partition_id", "key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
             .groupBy("partition_id")
             .agg(
                 F.coalesce(
