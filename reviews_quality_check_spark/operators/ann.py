@@ -351,10 +351,13 @@ def near_dup_pairs_lsh(
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded 4dp.
     """
+    from reviews_quality_check_spark.partitioning import spread
+
     # Stage 1: norm behind a repartition barrier — inlined, the norm
     # subtree would be re-evaluated per normalized element (CollapseProject).
     base = (
-        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), l2_norm(F.col(vec_col)).alias("__n"))
+        spread(df.select(F.col(id_col), F.col(vec_col)))
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), l2_norm(F.col(vec_col)).alias("__n"))
         .filter(F.col("__n") > 0)
         .repartition(F.col("vid"))
     )

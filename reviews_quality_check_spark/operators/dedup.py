@@ -183,6 +183,8 @@ def minhash_lsh_candidates(
     band key → distinct pairs. The join key space is the band hash, so
     the pair blow-up is bounded by bucket sizes, not n².
     """
+    from reviews_quality_check_spark.partitioning import spread
+
     rows_per_band = num_hashes // bands
     # EXPLODE-THEN-AGGREGATE, not nested array lambdas: chained column
     # projections get collapsed by Catalyst into the HOF lambda bodies,
@@ -195,7 +197,8 @@ def minhash_lsh_candidates(
     p = F.lit(MINHASH_P)
     sh = F.array_distinct(word_ngrams(F.col("__tok"), shingle_k))
     hashed = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", tokens(text_col).alias("__tok"))
         .select("id", F.explode(sh).alias("__s"))
         .select(
             "id",
@@ -247,12 +250,14 @@ def near_dup_pairs(
     The verify join broadcasts nothing — both sides re-derive n-gram sets
     from the joined texts, keeping the candidate relation narrow (two ids).
     """
+    from reviews_quality_check_spark.partitioning import spread
+
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
     # Pre-compute the n-gram set ONCE per doc (before the pair join): at
     # scale each doc participates in many candidate pairs — deriving the
     # set pair-side would multiply the heavy text work by the fan-out.
     # Also excludes exact duplicates (reference similarity.py:161).
-    fp = df.select(
+    fp = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         md5_fingerprint(text_col).alias("fp"),
         whitespace_words(text_col).alias("__words"),
@@ -305,8 +310,10 @@ def simhash_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     inside signed int64 (no sign-bit special case), so the DuckDB oracle
     reproduces the hash bit-for-bit.
     """
-    hashed = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("__t")
+    from reviews_quality_check_spark.partitioning import spread
+
+    hashed = spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.explode(tokens(text_col)).alias("__t")
     ).select(
         "id",
         F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10).cast("long").alias("__h"),
@@ -493,6 +500,7 @@ def connected_components(
         )
         stepped = labels.join(nbr, "node", "left").select(
             "node",
+            F.col("lbl").alias("old_lbl"),
             F.least(
                 F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))
             ).alias("lbl"),
@@ -503,6 +511,7 @@ def connected_components(
         )
         doubled = stepped.join(ptr, "lbl", "left").select(
             "node",
+            "old_lbl",
             F.least(
                 F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
             ).alias("lbl"),
@@ -511,12 +520,12 @@ def connected_components(
             new_labels, new_ckpt = commit_round(doubled, round_k), None
         else:
             new_labels, new_ckpt = pin_tracked(doubled, checkpoint_dir)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        # the previous label rides along on each row, so the convergence
+        # test is a filter over the just-pinned frame instead of a
+        # node-keyed join of two cached frames (one shuffle less per
+        # round — round latency is job-count-bound on small graphs)
+        changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).count()
+        new_labels = new_labels.select("node", "lbl")
         # retire the previous round: unpersist drops its cached blocks;
         # its DURABLE artifacts (reliable rdd checkpoint / committed
         # round parquet) are deleted explicitly — keeping them would
