@@ -58,14 +58,12 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k,
     deterministic tie-break on neighbor id. Self-matches excluded.
     """
-    from reviews_quality_check_spark.partitioning import spread
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("nq"),
     )
-    c = spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("nc"),
@@ -351,13 +349,10 @@ def near_dup_pairs_lsh(
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded 4dp.
     """
-    from reviews_quality_check_spark.partitioning import spread
-
     # Stage 1: norm behind a repartition barrier — inlined, the norm
     # subtree would be re-evaluated per normalized element (CollapseProject).
     base = (
-        spread(df.select(F.col(id_col), F.col(vec_col)))
-        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), l2_norm(F.col(vec_col)).alias("__n"))
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), l2_norm(F.col(vec_col)).alias("__n"))
         .filter(F.col("__n") > 0)
         .repartition(F.col("vid"))
     )
@@ -464,8 +459,6 @@ def ivf_topk(
     corpus scan is one pass; the probe join fans each query out to
     n_probe cells only.
     """
-    from reviews_quality_check_spark.partitioning import spread
-
     if centroids is None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -476,7 +469,7 @@ def ivf_topk(
 
     dim = len(centroids[0])
     ranks_udf = cell_ranks_pandas_udf(centroids, dim)
-    c = spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("nc"),
@@ -529,7 +522,7 @@ def lsh_bucket_topk(
             out = out + b
         return out
 
-    c = spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         bucket_expr(F.col(vec_col)).alias("bucket"),
@@ -624,13 +617,11 @@ def semdedup(
 
     import pandas as pd
 
-    from reviews_quality_check_spark.partitioning import spread
-
     if planes is not None:
         cell_col = sign_cells_pandas_udf(planes, dim)(F.col(vec_col))
     else:
         cell_col = nearest_cell(F.col(vec_col))
-    cells = spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
+    cells = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),

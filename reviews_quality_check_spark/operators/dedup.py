@@ -183,8 +183,6 @@ def minhash_lsh_candidates(
     band key → distinct pairs. The join key space is the band hash, so
     the pair blow-up is bounded by bucket sizes, not n².
     """
-    from reviews_quality_check_spark.partitioning import spread
-
     rows_per_band = num_hashes // bands
     # EXPLODE-THEN-AGGREGATE, not nested array lambdas: chained column
     # projections get collapsed by Catalyst into the HOF lambda bodies,
@@ -197,8 +195,7 @@ def minhash_lsh_candidates(
     p = F.lit(MINHASH_P)
     sh = F.array_distinct(word_ngrams(F.col("__tok"), shingle_k))
     hashed = (
-        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-        .select("id", tokens(text_col).alias("__tok"))
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
         .select("id", F.explode(sh).alias("__s"))
         .select(
             "id",
@@ -250,14 +247,12 @@ def near_dup_pairs(
     The verify join broadcasts nothing — both sides re-derive n-gram sets
     from the joined texts, keeping the candidate relation narrow (two ids).
     """
-    from reviews_quality_check_spark.partitioning import spread
-
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
     # Pre-compute the n-gram set ONCE per doc (before the pair join): at
     # scale each doc participates in many candidate pairs — deriving the
     # set pair-side would multiply the heavy text work by the fan-out.
     # Also excludes exact duplicates (reference similarity.py:161).
-    fp = spread(df.select(F.col(id_col), F.col(text_col))).select(
+    fp = df.select(
         F.col(id_col).alias("id"),
         md5_fingerprint(text_col).alias("fp"),
         whitespace_words(text_col).alias("__words"),
@@ -310,10 +305,8 @@ def simhash_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     inside signed int64 (no sign-bit special case), so the DuckDB oracle
     reproduces the hash bit-for-bit.
     """
-    from reviews_quality_check_spark.partitioning import spread
-
-    hashed = spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", F.explode(tokens(text_col)).alias("__t")
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("__t")
     ).select(
         "id",
         F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10).cast("long").alias("__h"),

@@ -52,6 +52,13 @@ def _register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NB: deliberately NO blanket spread() here — r6 A/B-measured the
+    # keyless round-robin exchange (it local-sorts full payload rows,
+    # SPARK-23207) LOSING to the single-task scan for every light and
+    # medium per-row query (doc_column_stats 0.33s -> 0.92s, repeated
+    # lines 0.80 -> 1.93). spread() pays off only where per-row work
+    # dominates the exchange (sentiment chain, similarity features,
+    # ANN folds) — those sites opt in individually.
     return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
 
 
