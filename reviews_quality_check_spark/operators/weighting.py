@@ -161,6 +161,8 @@ def dsir_log_weights(
     pass is explode -> broadcast-join -> doc_id hash-aggregate. No
     corpus-sized shuffle other than the doc_id aggregate itself.
     """
+    from reviews_quality_check_spark.operators.pinning import pin
+
     tok = docs.select("doc_id", "source", tokens("text").alias("toks"))
     feats = tok.select(
         "doc_id",
@@ -168,7 +170,13 @@ def dsir_log_weights(
         F.explode(
             F.concat(F.col("toks"), word_ngrams(F.col("toks"), 2))
         ).alias("feat"),
-    ).withColumn("bucket", _md5_bucket(F.col("feat"), buckets))
+    ).select("doc_id", "source", _md5_bucket(F.col("feat"), buckets).alias("bucket"))
+    # feats feeds BOTH the bucket model and the per-doc scoring join;
+    # pinned (per-invocation localCheckpoint) so tokenize+bigrams+md5
+    # run once instead of twice — the narrow (doc_id, source, bucket)
+    # rows were already shuffled twice, now computed once (r6; same
+    # rationale as dup_ngram_spans' occ pin).
+    feats = pin(feats, None)
     # bucket models: raw = all docs, target = target_source docs
     model = feats.groupBy("bucket").agg(
         F.count("*").alias("raw_cnt"),
@@ -285,7 +293,15 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
     Output: (doc_id, lang, nll, ppl_bucket). Zero-token docs are
     excluded (no LM evidence).
     """
-    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("w"))
+    from reviews_quality_check_spark.operators.pinning import pin
+
+    # tok feeds the LM aggregate AND the per-doc scoring join; per_doc
+    # feeds the distribution aggregate, the per-language count, and the
+    # final bucket join (3 references). Both pinned per-invocation so the
+    # tokenize/explode and the tok x logp join run once each (r6).
+    tok = pin(
+        docs.select("doc_id", "lang", F.explode(tokens("text")).alias("w")), None
+    )
     lm = tok.groupBy("lang", "w").agg(F.count("*").alias("cnt"))
     lang_tot = lm.groupBy("lang").agg(
         F.sum("cnt").alias("total"), F.count("*").alias("v")
@@ -303,14 +319,15 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
             ).alias("lp"),
         )
     )
-    per_doc = (
+    per_doc = pin(
         tok.join(logp, ["lang", "w"])
         .groupBy("doc_id", "lang")
         .agg(
             F.round(
                 -_round6_decimal_sum(F.col("lp")) / F.count("*") + F.lit(1e-9), 4
             ).alias("nll")
-        )
+        ),
+        None,
     )
     # distribution aggregate: one row per distinct (lang, nll_4dp)
     dist = per_doc.groupBy("lang", "nll").agg(F.count("*").alias("c"))
