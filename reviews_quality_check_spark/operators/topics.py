@@ -400,10 +400,15 @@ def umass_coherence(
     sum, one double division, +1e-9 nudge, round(4) — the _avg4 pattern.
 
     Output: (topic_id, n_pairs, u_mass)."""
-    hits = (
+    from reviews_quality_check_spark.operators.pinning import pin
+
+    # hits feeds dfreq and BOTH pair-join sides; pinned per-invocation so
+    # the tokenize/explode/broadcast-join runs once (r6)
+    hits = pin(
         tok_df.select("doc_id", F.explode(F.array_distinct("tokens")).alias("word"))
         .join(F.broadcast(top_words), "word")
-        .select("topic_id", "rank", "word", "doc_id")
+        .select("topic_id", "rank", "word", "doc_id"),
+        None,
     )
     dfreq = hits.groupBy("topic_id", "rank", "word").agg(
         F.count(F.lit(1)).alias("d")
@@ -471,10 +476,13 @@ def cv_coherence(
     n_docs = tok_df.select(
         F.count(F.lit(1)).cast("double").alias("__nd")
     )
-    hits = (
+    from reviews_quality_check_spark.operators.pinning import pin
+
+    hits = pin(
         tok_df.select("doc_id", F.explode(F.array_distinct("tokens")).alias("word"))
         .join(F.broadcast(top_words), "word")
-        .select("topic_id", "rank", "doc_id")
+        .select("topic_id", "rank", "doc_id"),
+        None,
     )
     a = hits.select("topic_id", F.col("rank").alias("ri"), "doc_id")
     b = hits.select("topic_id", F.col("rank").alias("rj"), "doc_id")

@@ -1869,7 +1869,9 @@ def doc_topic_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     from reviews_quality_check_spark.operators.topics import _token_df
 
-    toks = _token_df(d, "text", "doc_id")
+    from reviews_quality_check_spark.operators.pinning import pin as _pin
+
+    toks = _pin(_token_df(d, "text", "doc_id"), None)
     hits0 = toks.select("doc_id", F.explode(F.array_distinct("tokens")).alias("word"))
     dfreq = hits0.groupBy("word").agg(F.count(F.lit(1)).alias("d"))
     from pyspark.sql.window import Window
@@ -1937,7 +1939,9 @@ def topic_coherence_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     from reviews_quality_check_spark.operators.topics import _token_df
 
-    toks = _token_df(d, "text", "doc_id")
+    from reviews_quality_check_spark.operators.pinning import pin as _pin
+
+    toks = _pin(_token_df(d, "text", "doc_id"), None)
     hits0 = toks.select("doc_id", F.explode(F.array_distinct("tokens")).alias("word"))
     dfreq = hits0.groupBy("word").agg(F.count(F.lit(1)).alias("d"))
     from pyspark.sql.window import Window
@@ -2099,7 +2103,9 @@ def cv_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reviews_quality_check_spark.operators.topics import _token_df, cv_coherence
 
     d = _t(spark, sf_dir, "documents")
-    toks = _token_df(d, "text", "doc_id")
+    from reviews_quality_check_spark.operators.pinning import pin as _pin
+
+    toks = _pin(_token_df(d, "text", "doc_id"), None)
     dfreq = (
         toks.select(F.explode(F.array_distinct("tokens")).alias("word"))
         .groupBy("word")
@@ -2127,7 +2133,9 @@ def umass_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reviews_quality_check_spark.operators.topics import _token_df, umass_coherence
 
     d = _t(spark, sf_dir, "documents")
-    toks = _token_df(d, "text", "doc_id")
+    from reviews_quality_check_spark.operators.pinning import pin as _pin
+
+    toks = _pin(_token_df(d, "text", "doc_id"), None)
     dfreq = (
         toks.select(F.explode(F.array_distinct("tokens")).alias("word"))
         .groupBy("word")
