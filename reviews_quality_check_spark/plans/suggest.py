@@ -123,7 +123,13 @@ def suggest_constraints(
             rows.append(
                 (c, "null_rate_max", "", None, hi, round(z / n + 1e-9, 4))
             )
-        if z == 0 and d == n:
+        # 'unique' only from the EXACT profile (ADVICE r5 #4): with
+        # approx=True, d is an HLL estimate that can equal n while the
+        # true distinct count is lower, and the suggested suite would
+        # then FAIL on the very data it was profiled from — breaking
+        # the documented round-trip guarantee. The approx profile still
+        # suggests every threshold-style rule.
+        if z == 0 and d == n and not approx:
             rows.append((c, "unique", "", None, None, 1.0))
         if c in string_cols and p["values"] is not None:
             # params is comma-joined: a member containing the separator

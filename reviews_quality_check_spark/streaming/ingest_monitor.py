@@ -42,14 +42,35 @@ def batch_metrics(batch_df: DataFrame, series_col: str) -> DataFrame:
 def metrics_foreach_batch(metrics_dir: str, series_col: str):
     """foreachBatch callback: idempotently commit this batch's metric
     rows under batch_id (dynamic partition overwrite on batch_id =
-    replay rewrites, never duplicates)."""
+    replay rewrites, never duplicates).
+
+    Densification (ADVICE r5 #3): a per-key feed that DIES produces no
+    rows at all, so a batch's metrics alone would simply omit the dead
+    series and detect_anomalies would never see the crash (only __all
+    catches total-volume drops). Each batch is therefore densified
+    against the series set already committed to the history: known
+    series absent from this batch get an explicit value=0 row, making
+    the dead feed visible to the per-series detectors within one
+    micro-batch — the docstring's contract. The known-series read is
+    O(batches x series) metadata, not data."""
 
     def callback(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        m = batch_metrics(batch_df, series_col)
+        try:
+            known = (
+                spark.read.parquet(metrics_dir)
+                .select("metric").distinct()
+            )
+            zeros = known.join(
+                m.select("metric"), "metric", "left_anti"
+            ).select("metric", F.lit(0).cast("long").alias("value"))
+            m = m.unionByName(zeros)
+        except Exception:
+            pass  # first batch: no history yet
         (
-            batch_metrics(batch_df, series_col)
-            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            m.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
             .repartition(1)
             .write.mode("overwrite")
             .partitionBy("batch_id")

@@ -62,8 +62,12 @@ def validate_stream(
     """
     if not suite.row_checks:
         raise ValueError("validate_stream needs at least one RowCheck")
+    # coalesce BEFORE the cast (ADVICE r5 #2): a RowCheck whose violation
+    # expression is NULL for every row in a window must count 0 and pass,
+    # matching SuiteRunner._flagged's batch semantics — a raw NULL sum
+    # would yield NULL violation_count / NULL passed.
     flags = [
-        c.violation.cast("int").alias(f"__v{i}")
+        F.coalesce(c.violation, F.lit(False)).cast("int").alias(f"__v{i}")
         for i, c in enumerate(suite.row_checks)
     ]
     src = stream

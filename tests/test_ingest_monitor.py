@@ -97,3 +97,34 @@ def test_batch_metrics_shape(spark):
     )
     got = {r["metric"]: r["value"] for r in batch_metrics(d, "event_type").collect()}
     assert got == {"t0": 3, "t1": 2, "t2": 2, "__all": 7}
+
+
+def test_dead_feed_flagged_within_one_batch(spark, tmp_path):
+    """ADVICE r5 #3: a per-key feed that dies must produce an explicit
+    value=0 history point (densified against the committed series set)
+    so the per-series detector sees the crash — not just __all."""
+    src, ckpt, metrics = (str(tmp_path / d) for d in ("src", "ckpt", "m"))
+    for i in range(4):
+        _write_file(spark, src, 100, offset=i * 100)   # t0+t1 alive
+    # batch 5: only t0 rows — the t1 feed died
+    (
+        spark.range(1000, 1100)
+        .select(
+            F.col("id").alias("event_id"),
+            F.lit("t0").alias("event_type"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    _run(spark, src, ckpt, metrics)
+    hist = {
+        (r["metric"], r["batch_id"]): r["value"]
+        for r in spark.read.parquet(metrics).collect()
+    }
+    assert hist["t1", 4] == 0          # densified zero point exists
+    flags = {
+        (r["metric"], r["window_id"]): r
+        for r in ingest_anomalies(spark, metrics).collect()
+    }
+    assert flags["t1", 4]["rel_anomaly"]  # dead feed flagged

@@ -114,3 +114,25 @@ def test_validate_stream_requires_row_checks(spark):
     )
     with pytest.raises(ValueError):
         validate_stream(df, C.Suite(name="empty", row_key="url"))
+
+
+def test_all_null_violation_window_matches_batch(spark, tmp_path):
+    """ADVICE r5 #2: a RowCheck whose violation expression is NULL for
+    every row in a window must yield violation_count=0 / passed=true
+    (the batch runner's coalesce semantics), not NULL/NULL."""
+    import pyspark.sql.functions as F
+
+    from reviews_quality_check_spark.plans import checks as C
+    from reviews_quality_check_spark.streaming.suite_stream import validate_stream
+
+    df = spark.range(10).select(
+        F.lit("2024-01-01 00:10:00").cast("timestamp").alias("warc_ts"),
+        F.col("id").alias("v"),
+    )
+    suite = C.Suite(name="nulls", row_key="v")
+    # violation NULL on every row (NULL boolean expression)
+    suite.add(C.RowCheck(name="null_check", violation=F.lit(None).cast("boolean")))
+    out = validate_stream(df, suite, ts_col="warc_ts", window="1 hour").collect()
+    assert len(out) == 1
+    assert out[0]["violation_count"] == 0
+    assert bool(out[0]["passed"]) is True
