@@ -49,6 +49,16 @@ def compute_states(
     Numeric columns carry min/max/sum (sum in decimal(38,6) so merges
     are exact); string columns carry min/max lexicographic and a null
     sum only. Every column carries an HLL sketch for distinct.
+
+    SUPPORTED NUMERIC RANGE (ADVICE r5 #1): the exact-merge contract
+    holds for values with |v| < 10^32 and a 6-decimal-place grid
+    (decimal(38,6)). Outside that range the non-ANSI cast degrades
+    silently — |v| >= ~1e32 becomes NULL (excluded from sum/min/max)
+    and magnitudes below 1e-6 truncate to 0. Profile such columns
+    through operators/column_stats (double min/max + sketch quantiles)
+    instead; this store targets count-like / money-like pipeline
+    metrics where the decimal grid is the point (exact cross-engine
+    merges).
     """
     parts = []
     for c in tuple(numeric_cols) + tuple(string_cols):
