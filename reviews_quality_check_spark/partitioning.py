@@ -20,14 +20,26 @@ def target_parallelism(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 
 
-def spread(df: DataFrame, factor: int = 1) -> DataFrame:
-    """Round-robin repartition a frame whose planned scan is narrower
-    than the cluster, so downstream map-side expression work uses every
-    core. No-op when the scan already has >= defaultParallelism * factor
+def spread(df: DataFrame, factor: int = 1, key: str | None = None) -> DataFrame:
+    """Repartition a frame whose planned scan is narrower than the
+    cluster, so downstream map-side expression work uses every core.
+    No-op when the scan already has >= defaultParallelism * factor
     partitions (any real-scale input). Row ORDER changes — callers must
     be order-insensitive (every oracled query sorts its output).
+
+    Pass ``key`` (a unique-ish column, e.g. the row id) to hash-
+    partition instead of round-robin: a keyless repartition local-sorts
+    its input rows first (spark.sql.execution.sortBeforeRepartition,
+    on by default since SPARK-23207 for retry determinism), which r6
+    measured as most of the exchange cost on payload-bearing rows —
+    hash partitioning needs no sort and is deterministic under retries
+    by construction.
     """
+    from pyspark.sql import functions as F
+
     target = target_parallelism(df) * factor
     if df.rdd.getNumPartitions() >= target:
         return df
+    if key is not None:
+        return df.repartition(target, F.col(key))
     return df.repartition(target)

@@ -2206,7 +2206,9 @@ def lang_id_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from reviews_quality_check_spark.functions.text import whitespace_words
 
-    d = _t(spark, sf_dir, "documents")
+    # hash-spread (keyed, no local sort) before the heavy trigram build:
+    # measured 1.24s vs 1.61s plain same-window (r6)
+    d = _spread(_t(spark, sf_dir, "documents"), key="doc_id")
     staged = d.select(
         "doc_id", "lang", _padded_trigrams(whitespace_words("text")).alias("tgs")
     ).repartition(F.col("doc_id"))
@@ -5114,7 +5116,11 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_classifier_scores as op,
     )
 
-    return op(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # hash-spread before the per-feature md5 chain (~120 md5/doc runs on
+    # the single scan task otherwise): 1.21s vs 1.81s plain (r6)
+    return op(
+        _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), key="doc_id")
+    )
 
 
 def _bloom_decontam_oracle() -> str:
