@@ -213,10 +213,12 @@ EXPECT: dict[str, dict] = {
         "read_cols_max": 4,                      # doc_id, lang, source, n_chars
     },
     "semdedup_keep": {
-        # centroid assignment is a pure expression scan; pairwise stage
-        # is an equi-join on cell; dropped set joins back broadcast
-        "plan_contains": "BroadcastHashJoin",
-        "plan_not_contains": "CartesianProduct",
+        # r6 shape: sign-cell assignment via Arrow UDF, within-cell pair
+        # stage is ONE grouped pandas pass emitting (vec_id, cell, keep)
+        # directly — the old broadcast join-back of the dropped set is
+        # gone (strictly fewer joins), and there is still no cartesian
+        "plan_contains": "FlatMapGroupsInPandas",
+        "plan_not_contains": "CartesianProduct|BroadcastNestedLoopJoin",
         "read_cols_max": 2,                      # vec_id + embedding
     },
     "eval_holdout_sample": {
