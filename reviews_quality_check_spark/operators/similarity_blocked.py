@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 
 from reviews_quality_check_spark.functions.text import (
     md5_fingerprint_exact,
-    similarity_ngram_set_from_words,
     whitespace_words,
 )
 from reviews_quality_check_spark.partitioning import spread
@@ -68,11 +67,17 @@ def exact_dup_groups_gated(
 
 def _doc_features(df: DataFrame, text_col: str, id_col: str, block_size: int) -> DataFrame:
     """Per-doc features for block-local similarity, computed once per row
-    behind a spread: (id, block_id, fp, short, ngset). Rows whose text is
-    NULL are dropped — in the join formulation their NULL n-gram set /
-    NULL gate made every pair predicate NULL, which the pair filter
-    dropped; pre-filtering is the same contract without the three-valued
-    logic in the pair loop."""
+    behind a spread: (id, block_id, fp, short, words). The n-gram SET is
+    deliberately NOT built here: the char-3-gram construction is an
+    interpreted nested-HOF chain (~2s of the old feature stage at sf0.1)
+    and its string arrays then cross Arrow — the pandas pair stage
+    builds the identical frozensets directly from the words array
+    (Python slicing and JVM substring both index CODE POINTS, and the
+    locale-sensitive lower/trim/split stays JVM-side in norm_text, so
+    set membership is engine-identical — certified by the oracle's
+    Jaccard values at three SFs). Rows whose text is NULL are dropped —
+    in the join formulation their NULL n-gram set / NULL gate made
+    every pair predicate NULL, which the pair filter dropped."""
     return (
         spread(df.select(F.col(id_col), F.col(text_col)))
         .select(
@@ -84,14 +89,29 @@ def _doc_features(df: DataFrame, text_col: str, id_col: str, block_size: int) ->
         .select(
             "id", "block_id", "fp",
             (F.size(F.col("__w")) <= 50).alias("short"),
-            similarity_ngram_set_from_words(F.col("__w")).alias("ngset"),
+            F.col("__w").alias("words"),
         )
         .filter(
             F.col("fp").isNotNull()
             & F.col("short").isNotNull()
-            & F.col("ngset").isNotNull()
+            & F.col("words").isNotNull()
         )
     )
+
+
+def _ngram_set(ws, n: int = 3):
+    """Python twin of text.similarity_ngram_set_from_words: every word,
+    char n-grams of words >= n chars, word n-grams — as a frozenset
+    (the JVM builder's array_distinct makes it a set anyway)."""
+    out = set()
+    for w in ws:
+        lw = len(w)
+        for i in range(lw - n + 1):
+            out.add(w[i:i + n])
+        out.add(w)
+    for i in range(len(ws) - n + 1):
+        out.add(" ".join(ws[i:i + n]))
+    return out
 
 
 def _tier(sim_col: F.Column) -> F.Column:
@@ -135,7 +155,7 @@ def blocked_similar_pairs(
         ids = pdf["id"].to_numpy()
         fps = pdf["fp"].to_numpy()
         shorts = pdf["short"].to_numpy()
-        sets = [frozenset(x) for x in pdf["ngset"]]
+        sets = [_ngram_set(list(x)) for x in pdf["words"]]
         lens = [len(s) for s in sets]
         bid = int(pdf["block_id"].iloc[0])
         out_a: list[int] = []
@@ -209,21 +229,18 @@ def combined_similar_pairs(
     """
     import pandas as pd
 
-    from reviews_quality_check_spark.operators.ann import l2_norm
-
     t1, t2, t3 = (float(t) for t in tiers)
-    nv = (
-        spread(emb.select(F.col(vec_id_col).alias("vid"), F.col(vec_col).alias("v")))
-        .select("vid", "v", l2_norm(F.col("v")).alias("__n"))
-        .filter(F.col("__n") > 0)
-        .repartition(F.col("vid"))
-        .select(
-            "vid",
-            F.transform(F.col("v"), lambda x: x.cast("double") / F.col("__n")).alias("nv"),
-        )
-    )
+    # RAW embeddings travel to the pandas stage; the norm fold and the
+    # per-element normalization run vectorized there in the exact float64
+    # op order of the old l2_norm / transform(x / n) expressions (per-dim
+    # ascending accumulation, then one IEEE division per element) — same
+    # values, no interpreted HOF fold on the scan, one exchange less,
+    # and half the Arrow bytes (float32 in, not JVM-normalized doubles).
+    # Zero-norm vectors are excluded from pairing inside the UDF — the
+    # same contract as the old .filter(__n > 0) pre-join.
     base = _doc_features(docs, text_col, id_col, block_size).join(
-        nv, F.col("id") == F.col("vid")
+        emb.select(F.col(vec_id_col).alias("vid"), F.col(vec_col).alias("v")),
+        F.col("id") == F.col("vid"),
     ).drop("vid")
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -233,19 +250,35 @@ def combined_similar_pairs(
         ids = pdf["id"].to_numpy()
         fps = pdf["fp"].to_numpy()
         shorts = pdf["short"].to_numpy()
-        sets = [frozenset(x) for x in pdf["ngset"]]
+        sets = [_ngram_set(list(x)) for x in pdf["words"]]
         lens = [len(s) for s in sets]
         bid = int(pdf["block_id"].iloc[0])
         n = len(ids)
-        x = (
-            np.vstack(pdf["nv"].to_numpy()).astype(np.float64)
-            if n
-            else np.zeros((0, 0))
+        raw = pdf["v"].to_numpy()
+        dims = {len(a) for a in raw if a is not None}
+        dim = max(dims) if dims else 0
+        wf = np.array(
+            [a is not None and len(a) == dim for a in raw], dtype=bool
         )
+        v = np.zeros((n, dim), dtype=np.float64)
+        if wf.any():
+            v[wf] = np.vstack(raw[wf]).astype(np.float64)
+        # l2_norm fold order: acc = acc + v_j * v_j, dims ascending
+        nrm2 = np.zeros(n, dtype=np.float64)
+        for j in range(dim):
+            col = v[:, j]
+            nrm2 = nrm2 + col * col
+        nrm = np.sqrt(nrm2)
+        # zero-norm / malformed rows never pair — the old pre-join
+        # .filter(l2_norm > 0) contract
+        valid = wf & (nrm > 0)
+        x = np.zeros_like(v)
+        if valid.any():
+            x[valid] = v[valid] / nrm[valid, None]
         # per-dimension ordered accumulation: acc[i,k] after step j equals
         # the JVM fold's partial sum over dims 0..j — bit-identical floats
         acc = np.zeros((n, n), dtype=np.float64)
-        for j in range(x.shape[1]):
+        for j in range(dim):
             col = x[:, j]
             acc += np.multiply.outer(col, col)
         out_a: list[int] = []
@@ -254,8 +287,12 @@ def combined_similar_pairs(
         out_ns: list[float] = []
         out_c: list[float] = []
         for i in range(n):
+            if not valid[i]:
+                continue
             si, li = sets[i], lens[i]
             for j in range(i + 1, n):
+                if not valid[j]:
+                    continue
                 if shorts[i] and shorts[j] and fps[i] == fps[j]:
                     continue
                 inter = len(si & sets[j])
