@@ -28,7 +28,6 @@ from reviews_quality_check_spark.functions.text import (
     md5_fingerprint,
     norm_text,
     shingles,
-    similarity_ngram_set_from_words,
     tokens,
     whitespace_words,
     word_ngrams,
@@ -248,38 +247,60 @@ def near_dup_pairs(
     from the joined texts, keeping the candidate relation narrow (two ids).
     """
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
-    # Pre-compute the n-gram set ONCE per doc (before the pair join): at
-    # scale each doc participates in many candidate pairs — deriving the
-    # set pair-side would multiply the heavy text work by the fan-out.
-    # Also excludes exact duplicates (reference similarity.py:161).
+    # The verify join ships the (cheap, JVM-normalized) WORDS array per
+    # side and computes the reference n-gram-set Jaccard inside one
+    # vectorized pandas UDF over the CANDIDATE pairs only — the old
+    # per-doc ngset projection paid the interpreted char-3-gram HOF
+    # chain for every corpus doc (r6: the same restructure that carried
+    # the blocked-similarity family; _ngram_set is the shared
+    # code-point-identical Python twin). LSH bounds the candidate count,
+    # so the per-pair set build is bounded by true/near-hit volume, not
+    # the corpus. Exact duplicates excluded as before (similarity.py:161).
+    from pyspark.sql.functions import pandas_udf
+
+    from reviews_quality_check_spark.operators.similarity_blocked import _ngram_set
+
     fp = df.select(
         F.col(id_col).alias("id"),
         md5_fingerprint(text_col).alias("fp"),
         whitespace_words(text_col).alias("__words"),
-    ).select(
-        "id", "fp", similarity_ngram_set_from_words(F.col("__words"), shingle_k).alias("ngset")
     )
     joined = (
         cands.join(fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"),
-                             F.col("ngset").alias("set_a"),
-                             F.size("ngset").alias("n_a")), "id_a")
+                             F.col("__words").alias("w_a")), "id_a")
         .join(fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"),
-                        F.col("ngset").alias("set_b"),
-                        F.size("ngset").alias("n_b")), "id_b")
+                        F.col("__words").alias("w_b")), "id_b")
         .filter(F.col("fp_a") != F.col("fp_b"))
     )
-    set_a, set_b = F.col("set_a"), F.col("set_b")
-    # sets are distinct: |A∪B| = |A|+|B|-|A∩B| (one array op per pair)
-    inter = F.size(F.array_intersect(set_a, set_b))
-    union = F.col("n_a") + F.col("n_b") - inter
-    sim = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+    def _jacc(wa, wb):
+        import pandas as pd
+
+        out = []
+        for a, b in zip(wa, wb):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            sa = _ngram_set(list(a), shingle_k)
+            sb = _ngram_set(list(b), shingle_k)
+            inter = len(sa & sb)
+            un = len(sa) + len(sb) - inter
+            # same float64 division as the JVM cast(double)/cast(double)
+            out.append(inter / un if un > 0 else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    import pandas as pd  # noqa: F401 (annotations for the udf)
+
+    _jacc.__annotations__ = {"wa": pd.Series, "wb": pd.Series, "return": pd.Series}
+    sim_udf = pandas_udf("double")(_jacc)
+    sim = F.col("similarity")
     tier = (
         F.when(sim >= 0.9, F.lit("critical"))
         .when(sim >= 0.8, F.lit("high"))
         .when(sim >= 0.7, F.lit("moderate"))
     )
     return (
-        joined.withColumn("similarity", sim)
+        joined.withColumn("similarity", sim_udf(F.col("w_a"), F.col("w_b")))
         .filter(F.col("similarity") >= threshold)
         .select("id_a", "id_b", "similarity", tier.alias("tier"))
     )
