@@ -660,9 +660,15 @@ def semdedup(
         if m >= 2:
             x = np.vstack(vs[vi]).astype(np.float64)
             acc = np.zeros((m, m), dtype=np.float64)
+            tmp = np.empty((m, m), dtype=np.float64)
             for j in range(x.shape[1]):  # same fold order as dot()
                 col = x[:, j]
-                acc += np.multiply.outer(col, col)
+                # preallocated outer-product buffer: the naive
+                # `acc += np.multiply.outer(col, col)` allocates an m x m
+                # temp per dimension (64 x 50 MB per 2500-vector cell —
+                # measured allocation-bound at 10x scale); out= reuses one
+                np.multiply.outer(col, col, out=tmp)
+                acc += tmp
             tn = thr * nrm[vi]  # (t * na), then * nb — original op order
             thresh = np.multiply.outer(tn, nrm[vi])
             hit = acc >= thresh
