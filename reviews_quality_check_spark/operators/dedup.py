@@ -414,6 +414,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     resume_dir: str | None = None,
     stop_after_rounds: int | None = None,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Group near-duplicate PAIRS into duplicate CLUSTERS — the form a
     dedup pipeline actually consumes (keep one canonical doc per
@@ -457,6 +458,20 @@ def connected_components(
     propagation rounds — the chaos-test / job-control hook used to
     exercise the kill path deterministically.
 
+    ``driver_threshold`` (r6): after near-dup detection the edge set is
+    normally MINUSCULE relative to the corpus (the whole point of the
+    pipeline), and the iterative distributed loop's cost is per-round
+    JOB latency, not data. When the edge count is at most this bound
+    (a LIMIT-probed check — never an unbounded collect) and no
+    checkpoint/resume/chaos machinery was requested, the components
+    are computed with a driver-side union-find over the collected
+    pairs — the same adaptive small-side routing as a broadcast join
+    (100k edges ≈ 1.6 MB). The fixpoint is identical by construction
+    (min member id per component; pytest pins route equality), and any
+    larger edge set — or any call that asks for durable rounds — takes
+    the distributed pointer-doubling path unchanged. Set 0/None to
+    force the distributed path.
+
     Output: (node, cluster_id, cluster_size) — cluster_id = min member id.
     """
     from reviews_quality_check_spark.operators.pinning import (
@@ -466,6 +481,55 @@ def connected_components(
     )
 
     spark = edges.sparkSession
+
+    from reviews_quality_check_spark.operators.pinning import engine_checkpoint_dir
+
+    if (
+        driver_threshold
+        and checkpoint_dir is None
+        and engine_checkpoint_dir() is None  # env-requested durable rounds
+        and resume_dir is None
+        and stop_after_rounds is None
+    ):
+        sample = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .limit(int(driver_threshold) + 1)
+            .collect()
+        )
+        if len(sample) <= driver_threshold:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in sample:
+                a, b = row["a"], row["b"]
+                if a is None or b is None:
+                    continue
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min keeps the root the component min
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            nodes = {
+                v for row in sample for v in (row["a"], row["b"]) if v is not None
+            }
+            members: dict = {}
+            for x in nodes:
+                members.setdefault(find(x), []).append(x)
+            rows = [
+                (node, root, len(nodes))
+                for root, nodes in members.items()
+                for node in nodes
+            ]
+            return spark.createDataFrame(
+                rows, "node long, cluster_id long, cluster_size long"
+            )
 
     def commit_round(df: DataFrame, k: int) -> DataFrame:
         path = f"{resume_dir}/round={k}"

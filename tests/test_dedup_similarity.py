@@ -160,7 +160,10 @@ def test_connected_components_long_chain_log_rounds(spark):
             (F.col("id") + 1001).alias("id_b"),
         )
     )
-    got = connected_components(edges, max_iter=10).collect()
+    # driver_threshold=0 forces the DISTRIBUTED path — this test exists
+    # to prove the pointer-doubling round bound, not the r6 small-graph
+    # driver route (covered by test_connected_components_route_equality)
+    got = connected_components(edges, max_iter=10, driver_threshold=0).collect()
     assert len(got) == 200
     assert all(r["cluster_id"] == 1000 and r["cluster_size"] == 200 for r in got)
 
@@ -348,3 +351,27 @@ def test_connected_components_kill_resume_chaos(spark, tmp_path):
     }
     assert again == baseline
     assert sorted(p.name for p in pathlib.Path(rdir).iterdir()) == dirs_before
+
+
+def test_connected_components_route_equality(spark):
+    """r6: the size-gated driver union-find route must produce exactly
+    the distributed pointer-doubling fixpoint (labels AND sizes) on a
+    mixed graph — chain, triangle-with-cycle, isolated pair, self-loop."""
+    from reviews_quality_check_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (30, 31), (31, 32), (32, 30),
+         (50, 50), (7, 6)],
+        "id_a long, id_b long",
+    )
+    driver = {
+        r["node"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        r["node"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert driver == dist
+    assert driver[4] == (1, 4) and driver[32] == (30, 3) and driver[50] == (50, 1)
+    assert driver[6] == (6, 2)
